@@ -1,0 +1,443 @@
+"""Configuration universe — JSON cards + CLI flags.
+
+Re-implements the reference's config contract (``CLI_params`` + nested
+cards, reference: src/CLI_params.hpp:857-1127 and §5.6 of SURVEY.md) so
+reference config files port directly:
+
+- sections ``model`` (arch + ``parameter.transformer`` dims + backbone),
+  ``quantizer`` (per-neuron-name bit spec), ``train``, ``datasets``,
+  ``debug``, ``checkpoint_out``, ``seed``
+- keys starting with ``"#"`` are comments (reference convention)
+- HF ``config.json`` ingestion (``MODEL_CARD::InitHugFace``,
+  reference: src/Utils/CLI_params.cpp:2224)
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+from koifish_tpu.dtypes import DEFAULT_GROUP, QFormat, qformat_from_bits
+
+
+def _strip_comments(obj: Any) -> Any:
+    """Drop dict keys starting with '#' recursively (reference config style)."""
+    if isinstance(obj, dict):
+        return {k: _strip_comments(v) for k, v in obj.items() if not k.startswith("#")}
+    if isinstance(obj, list):
+        return [_strip_comments(v) for v in obj]
+    return obj
+
+
+def jkv(obj: Any, path: List[str], default: Any = None) -> Any:
+    """Path query into nested JSON — analog of the reference's ``jKV``
+    (src/CLI_params.hpp:1118-1126)."""
+    cur = obj
+    for key in path:
+        if not isinstance(cur, dict) or key not in cur:
+            return default
+        cur = cur[key]
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# Model card
+# ---------------------------------------------------------------------------
+
+#: arch-family defaults: (pos_embed, norm, act, qkv_bias, qk_norm)
+_ARCH_DEFAULTS = {
+    "GPT2": dict(pos_embed="learned", norm="layernorm", act="gelu",
+                 qkv_bias=True, qk_norm=False, mlp_bias=True, tie_embeddings=True),
+    "QWEN2": dict(pos_embed="rope", norm="rmsnorm", act="swiglu",
+                  qkv_bias=True, qk_norm=False, mlp_bias=False, tie_embeddings=True),
+    "QWEN3": dict(pos_embed="rope", norm="rmsnorm", act="swiglu",
+                  qkv_bias=False, qk_norm=True, mlp_bias=False, tie_embeddings=True),
+    "LLAMA": dict(pos_embed="rope", norm="rmsnorm", act="swiglu",
+                  qkv_bias=False, qk_norm=False, mlp_bias=False, tie_embeddings=False),
+    "MISTRAL": dict(pos_embed="rope", norm="rmsnorm", act="swiglu",
+                    qkv_bias=False, qk_norm=False, mlp_bias=False, tie_embeddings=False),
+    "DEEPSEEK": dict(pos_embed="rope", norm="rmsnorm", act="swiglu",
+                     qkv_bias=False, qk_norm=False, mlp_bias=False, tie_embeddings=False),
+    "BITNET": dict(pos_embed="rope", norm="rmsnorm", act="swiglu",
+                   qkv_bias=False, qk_norm=False, mlp_bias=False, tie_embeddings=True),
+    "QWEN3_MOE": dict(pos_embed="rope", norm="rmsnorm", act="swiglu",
+                      qkv_bias=False, qk_norm=True, mlp_bias=False, tie_embeddings=True),
+    "MAMBA": dict(pos_embed="none", norm="rmsnorm", act="silu",
+                  qkv_bias=False, qk_norm=False, mlp_bias=False, tie_embeddings=True),
+}
+
+_HF_MODEL_TYPE = {
+    "gpt2": "GPT2", "qwen2": "QWEN2", "qwen3": "QWEN3", "llama": "LLAMA",
+    "mistral": "MISTRAL", "deepseek_v2": "DEEPSEEK", "deepseek_v3": "DEEPSEEK",
+    "qwen3_moe": "QWEN3_MOE", "mamba": "MAMBA",
+}
+
+
+@dataclasses.dataclass(unsafe_hash=True)
+class ModelCard:
+    """Architecture hyperparameters — analog of the reference's MODEL_CARD
+    (src/CLI_params.hpp:263-385).
+
+    Hashable by value so it can be a jit static argument; ``rope_scaling``
+    is therefore stored as a frozen tuple of (key, value) pairs — use
+    :meth:`rope_scaling_dict`.
+    """
+
+    arch: str = "QWEN3"
+    vocab_size: int = 151936
+    n_layer: int = 28
+    n_embd: int = 1024
+    n_head: int = 16
+    n_kv_head: int = 8
+    head_dim: int = 64
+    n_ffn: int = 3072
+    n_ctx: int = 1024
+    max_pos: int = 32768
+    tie_embeddings: bool = True
+    rope_theta: float = 1_000_000.0
+    norm_eps: float = 1e-6
+    qkv_bias: bool = False
+    qk_norm: bool = True
+    mlp_bias: bool = False
+    pos_embed: str = "rope"      # learned | rope | none
+    norm: str = "rmsnorm"        # layernorm | rmsnorm
+    act: str = "swiglu"          # gelu | swiglu | silu
+    # rope long-context scaling (YaRN analog of reference rope.cu:129-243);
+    # frozen tuple of (key, value) pairs — see rope_scaling_dict()
+    rope_scaling: Optional[tuple] = None
+    # MoE (QWEN3_MOE)
+    n_experts: int = 0
+    n_experts_active: int = 0
+    moe_ffn: int = 0
+    dtype: str = "bfloat16"
+
+    @property
+    def n_qkv(self) -> Tuple[int, int, int]:
+        d = self.head_dim
+        return self.n_head * d, self.n_kv_head * d, self.n_kv_head * d
+
+    def rope_scaling_dict(self) -> Optional[dict]:
+        return dict(self.rope_scaling) if self.rope_scaling else None
+
+    @classmethod
+    def from_arch(cls, arch: str, **overrides) -> "ModelCard":
+        arch = arch.upper()
+        defaults = dict(_ARCH_DEFAULTS.get(arch, _ARCH_DEFAULTS["LLAMA"]))
+        defaults.update(overrides)
+        card = cls(arch=arch, **defaults)
+        return card
+
+    @classmethod
+    def from_json(cls, jmodel: dict) -> "ModelCard":
+        """Parse a reference-style ``model`` section (SURVEY.md §5.6)."""
+        arch = jmodel.get("arch", "QWEN3").upper()
+        p = jmodel.get("parameter", {})
+        t = p.get("transformer", {})
+        kw: Dict[str, Any] = {}
+        if "Layer" in p:
+            kw["n_layer"] = int(p["Layer"])
+        if "Ctx" in t:
+            kw["n_ctx"] = int(t["Ctx"])
+        if "Embed" in t:
+            kw["n_embd"] = int(t["Embed"])
+        if "Head" in t:
+            kw["n_head"] = int(t["Head"])
+        kw["n_kv_head"] = int(t.get("KVHead", kw.get("n_head", 0) or t.get("Head", 12)))
+        if "Ffn" in t:
+            kw["n_ffn"] = int(t["Ffn"])
+        if "head_dim" in t:
+            kw["head_dim"] = int(t["head_dim"])
+        elif "Embed" in t and "Head" in t:
+            kw["head_dim"] = int(t["Embed"]) // int(t["Head"])
+        if "vocab_size" in jmodel:
+            kw["vocab_size"] = int(jmodel["vocab_size"])
+        if "tie_word_embeddings" in p:
+            kw["tie_embeddings"] = bool(p["tie_word_embeddings"])
+        if "max_pos_embeddings" in p:
+            kw["max_pos"] = int(p["max_pos_embeddings"])
+        card = cls.from_arch(arch, **kw)
+        if arch == "GPT2":
+            card.vocab_size = int(jmodel.get("vocab_size", 50257))
+            card.n_ffn = 4 * card.n_embd  # GPT2 MLP is 4x (ref config "Ffn" field is unused scale)
+            card.rope_theta = 0.0
+            card.norm_eps = 1e-5
+        return card
+
+    @classmethod
+    def from_hf(cls, hf_cfg: dict) -> "ModelCard":
+        """Ingest a HuggingFace ``config.json`` —
+        analog of MODEL_CARD::InitHugFace (src/Utils/CLI_params.cpp:2224)."""
+        mt = hf_cfg.get("model_type", "llama")
+        arch = _HF_MODEL_TYPE.get(mt, "LLAMA")
+        n_head = int(hf_cfg.get("num_attention_heads", hf_cfg.get("n_head", 12)))
+        n_embd = int(hf_cfg.get("hidden_size", hf_cfg.get("n_embd", 768)))
+        card = cls.from_arch(
+            arch,
+            vocab_size=int(hf_cfg.get("vocab_size", 151936)),
+            n_layer=int(hf_cfg.get("num_hidden_layers", hf_cfg.get("n_layer", 12))),
+            n_embd=n_embd,
+            n_head=n_head,
+            n_kv_head=int(hf_cfg.get("num_key_value_heads", n_head)),
+            head_dim=int(hf_cfg.get("head_dim", n_embd // n_head)),
+            n_ffn=int(hf_cfg.get("intermediate_size", 4 * n_embd)),
+            n_ctx=min(int(hf_cfg.get("max_position_embeddings", 32768)), 8192),
+            max_pos=int(hf_cfg.get("max_position_embeddings", 32768)),
+        )
+        card.tie_embeddings = bool(hf_cfg.get("tie_word_embeddings", card.tie_embeddings))
+        card.rope_theta = float(hf_cfg.get("rope_theta", card.rope_theta))
+        card.norm_eps = float(hf_cfg.get("rms_norm_eps", hf_cfg.get("layer_norm_epsilon", card.norm_eps)))
+        if hf_cfg.get("rope_scaling"):
+            card.rope_scaling = tuple(sorted(
+                (k, v) for k, v in hf_cfg["rope_scaling"].items()
+                if isinstance(v, (int, float, str, bool))))
+        if "num_experts" in hf_cfg:
+            card.n_experts = int(hf_cfg["num_experts"])
+            card.n_experts_active = int(hf_cfg.get("num_experts_per_tok", 8))
+            card.moe_ffn = int(hf_cfg.get("moe_intermediate_size", card.n_ffn))
+        return card
+
+
+# ---------------------------------------------------------------------------
+# Quantizer card
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class QuantRule:
+    pattern: str                     # substring match on param path
+    fmt: QFormat
+    group: int = DEFAULT_GROUP
+    symmetric: bool = True
+    method: str = "RTN"              # RTN | RTNf (NF codebook) | AWQ
+
+
+@dataclasses.dataclass
+class QuantCard:
+    """Per-neuron-name quantization spec — analog of QUANT_CARD
+    (reference: src/CLI_params.hpp:509-554; config example
+    cases/qwen3/qwen3_596M_q4.json:3-8)."""
+
+    rules: List[QuantRule] = dataclasses.field(default_factory=list)
+    group: int = DEFAULT_GROUP
+    train_target: str = ""           # "" (weights) | "gama" (scale-only QAT)
+    kv_fmt: Optional[QFormat] = None  # quantized KV-cache format
+
+    @classmethod
+    def from_json(cls, jq: dict) -> "QuantCard":
+        group = int(jq.get("group_size", DEFAULT_GROUP))
+        card = cls(group=group, train_target=jq.get("train_target", ""))
+        for name, spec in jq.items():
+            if name in ("group_size", "train_target", "kv_cache", "MINI"):
+                continue
+            if not isinstance(spec, dict) or "bits" not in spec:
+                continue
+            method = spec.get("quant_method", "RTN").upper()
+            nf = method in ("RTNF", "NF")
+            fmt = qformat_from_bits(int(spec["bits"]), nf=nf)
+            card.rules.append(QuantRule(
+                pattern=name, fmt=fmt,
+                group=int(spec.get("group_size", group)),
+                symmetric=bool(spec.get("symmetric", True)),
+                method=method,
+            ))
+        kv = jq.get("kv_cache")
+        if isinstance(kv, dict) and "bits" in kv:
+            card.kv_fmt = qformat_from_bits(int(kv["bits"]))
+        return card
+
+    def rule_for(self, param_path: str) -> Optional[QuantRule]:
+        """First rule whose pattern is a substring of the param path —
+        the analog of QUANT_CARD::isPass name filtering."""
+        for rule in self.rules:
+            if rule.pattern in param_path:
+                return rule
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Train / SFT / sampler / dataset cards
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TrainCard:
+    """Training knobs — analog of TRAIN_CARD + ADAM/MUON params
+    (reference: src/CLI_params.hpp:556-635)."""
+
+    batch: int = 16
+    grad_accum: int = 1
+    epochs: int = 1
+    lr: float = 6e-4
+    lr_min_ratio: float = 0.1
+    warmup: int = 700
+    scheduler: str = "cosine"        # static | cosine | wsd | tri_line
+    optimizer: str = "adamw"         # adamw | muon | lion | sgd
+    weight_decay: float = 0.1
+    beta1: float = 0.9
+    beta2: float = 0.95
+    eps: float = 1e-8
+    grad_clip: float = 1.0
+    muon_lr_ratio: float = 1.0
+    muon_momentum: float = 0.95
+    remat: bool = True               # jax.checkpoint (reference "Rematerialisation")
+    dump_every: int = 10
+    eval_every: int = 100
+    save_every: int = 0
+    most_iter: int = -1              # cap iterations (DEBUG.N_mostiter analog)
+    seed: int = 42
+
+    @classmethod
+    def from_json(cls, jt: dict, debug: Optional[dict] = None) -> "TrainCard":
+        card = cls()
+        card.batch = int(jt.get("batch", card.batch))
+        card.epochs = int(jt.get("epoch", card.epochs))
+        card.lr = float(jt.get("learning-rate", card.lr))
+        card.dump_every = int(jt.get("dump-every", card.dump_every))
+        card.save_every = int(jt.get("save-every", card.save_every))
+        opt = jt.get("optimizatioin", jt.get("optimization", {}))  # sic — reference key
+        card.optimizer = str(opt.get("method", card.optimizer)).lower()
+        card.grad_accum = int(opt.get("grad_accumulation", card.grad_accum))
+        sched = jt.get("scheduler", {})
+        if isinstance(sched, str):
+            card.scheduler = sched
+        if debug:
+            card.most_iter = int(debug.get("most_iter", card.most_iter))
+        return card
+
+
+@dataclasses.dataclass
+class SFTCard:
+    """Tuning method — analog of SFT_CARD (src/CLI_params.hpp:449-474)."""
+    method: str = "full"             # full | lora | bitfit | only_attention | only_head
+    hf_card: str = ""
+    lora_rank: int = 16
+    lora_alpha: float = 32.0
+    lora_targets: Tuple[str, ...] = ("wq", "wk", "wv", "wo")
+
+    @classmethod
+    def from_json(cls, js: dict) -> "SFTCard":
+        return cls(
+            method=str(js.get("method", "Full")).lower(),
+            hf_card=js.get("hf-card", ""),
+            lora_rank=int(js.get("lora_rank", 16)),
+            lora_alpha=float(js.get("lora_alpha", 32.0)),
+        )
+
+
+@dataclasses.dataclass(unsafe_hash=True)
+class SamplerCard:
+    """Decode sampler — analog of CHAT_SAMPLER
+    (reference defaults src/CLI_params.hpp:677-680)."""
+    temperature: float = 0.6
+    top_p: float = 0.95
+    top_k: int = 50
+    min_p: float = 0.0
+    max_new_tokens: int = 256
+    seed: int = 42
+
+
+@dataclasses.dataclass
+class DatasetCard:
+    glob: str = ""
+    name: str = ""
+    kind: str = "tokens"             # tokens | hellaswag | ChatML | OAI_message
+    most: int = -1                   # max shards
+    eval_every: int = 0
+    samp: float = 1.0
+
+    @classmethod
+    def from_json(cls, jd: dict) -> "DatasetCard":
+        return cls(
+            glob=jd.get("glob", ""), name=jd.get("name", ""),
+            kind=jd.get("type", "tokens"), most=int(jd.get("most", -1)),
+            eval_every=int(jd.get("eval-every", 0)),
+            samp=float(jd.get("samp", 1.0)),
+        )
+
+
+@dataclasses.dataclass
+class CheckpointCard:
+    """Checkpoint descriptor — analog of CheckPoint_Params
+    (reference: src/CLI_params.hpp:800-855)."""
+    path: str = ""
+    state: str = "state"             # state | best | full
+    save_every: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Top-level
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class CLIParams:
+    model: ModelCard = dataclasses.field(default_factory=ModelCard)
+    quant: QuantCard = dataclasses.field(default_factory=QuantCard)
+    train: TrainCard = dataclasses.field(default_factory=TrainCard)
+    sft: Optional[SFTCard] = None
+    sampler: SamplerCard = dataclasses.field(default_factory=SamplerCard)
+    datasets: Dict[str, DatasetCard] = dataclasses.field(default_factory=dict)
+    checkpoint_in: str = ""
+    checkpoint_out: Optional[CheckpointCard] = None
+    hf_card: str = ""                # HF model dir (--hf flag / "hf-card")
+    prompts: List[str] = dataclasses.field(default_factory=list)
+    fuyou: Optional[dict] = None
+    seed: int = 42
+    raw: dict = dataclasses.field(default_factory=dict)
+
+    @classmethod
+    def load(cls, path: str, overrides: Optional[dict] = None) -> "CLIParams":
+        with open(path) as f:
+            raw = json.load(f)
+        return cls.from_json(raw, overrides)
+
+    @classmethod
+    def from_json(cls, raw_in: dict, overrides: Optional[dict] = None) -> "CLIParams":
+        raw = _strip_comments(raw_in)
+        if overrides:
+            raw = _deep_merge(raw, overrides)
+        p = cls(raw=raw)
+        jm = raw.get("model", {})
+        hf_dir = jm.get("hf-card", "") or jkv(raw, ["sft", "hf-card"], "")
+        if hf_dir and os.path.exists(os.path.join(hf_dir, "config.json")):
+            with open(os.path.join(hf_dir, "config.json")) as f:
+                p.model = ModelCard.from_hf(json.load(f))
+            p.hf_card = hf_dir
+        elif jm:
+            p.model = ModelCard.from_json(jm)
+        if "fuyou" in jm:
+            p.fuyou = jm["fuyou"]
+        if "quantizer" in raw:
+            p.quant = QuantCard.from_json(raw["quantizer"])
+        p.train = TrainCard.from_json(raw.get("train", {}), raw.get("debug", {}))
+        if "sft" in raw:
+            p.sft = SFTCard.from_json(raw["sft"])
+            if p.sft.hf_card:
+                p.hf_card = p.sft.hf_card
+        for name, jd in raw.get("datasets", {}).items():
+            if isinstance(jd, dict):
+                p.datasets[name] = DatasetCard.from_json(jd)
+        dbg = raw.get("debug", {})
+        p.prompts = list(dbg.get("prompts", []))
+        p.seed = int(raw.get("seed", 42))
+        p.train.seed = p.seed
+        if "checkpoint-in" in raw:
+            p.checkpoint_in = raw["checkpoint-in"]
+        co = raw.get("checkpoint_out") or raw.get("checkpoint-out")
+        if isinstance(co, dict):
+            first = next(iter(co.values())) if co else {}
+            if isinstance(first, dict):
+                p.checkpoint_out = CheckpointCard(
+                    path=first.get("path", ""), state=first.get("state", "state"),
+                    save_every=int(first.get("save-every", 0)))
+        elif isinstance(co, str):
+            p.checkpoint_out = CheckpointCard(path=co)
+        return p
+
+
+def _deep_merge(base: dict, over: dict) -> dict:
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out

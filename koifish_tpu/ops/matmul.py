@@ -1,0 +1,60 @@
+"""Quantization-aware matmul.
+
+The reference decodes by dequantizing packed weights into a shared bf16
+scratch then calling cublasLt (``GetDataX`` + ``CU_mm_blasLt``,
+reference: src/Device/CUDA/kernel/quantizer.cu:249, gemm.cu:93 — i.e.
+dequant-to-scratch, NOT fused). The TPU rebuild goes one better:
+``qmatmul`` lowers to a Pallas dequant-fused matmul on TPU
+(ops/pallas/matmul.py) and to a dequant+dot XLA path elsewhere — XLA
+fuses the unpack/scale elementwise chain into the dot's operand anyway,
+so the "ref" path is already fused-ish on TPU.
+"""
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from koifish_tpu.quant.qtensor import QTensor
+
+Weight = Union[jax.Array, QTensor]
+
+# backend switch: "auto" uses Pallas on TPU when the shape qualifies
+_BACKEND = "auto"
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    assert name in ("auto", "ref", "pallas")
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def _dequant(w: Weight, dtype) -> jax.Array:
+    if isinstance(w, QTensor):
+        return w.dequantize(dtype)
+    return w.astype(dtype)
+
+
+def qmatmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
+    """``x @ w`` with ``w`` possibly quantized. x: [..., in], w: [in, out]."""
+    out_dtype = out_dtype or x.dtype
+    if isinstance(w, QTensor) and _BACKEND != "ref":
+        from koifish_tpu.ops.pallas import matmul as pmm
+        y = pmm.qmatmul_pallas_or_ref(x, w, out_dtype)
+        return y
+    wd = _dequant(w, x.dtype)
+    return jnp.dot(x, wd, preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def linear(x: jax.Array, w: Weight, b: Optional[jax.Array] = None,
+           out_dtype=None) -> jax.Array:
+    """SLP analog (reference: src/Manifold/Neuron.hpp:397-430)."""
+    y = qmatmul(x, w, out_dtype=out_dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y

@@ -1,0 +1,116 @@
+"""Dequant-fused matmul — Pallas TPU kernel + XLA fallback.
+
+The core of the rebuild (SURVEY.md §7 layer 3): packed sub-byte weights are
+unpacked in-register inside the matmul's K-loop and multiplied by per-group
+scales, never materializing the bf16 weight in HBM — the fused version of
+the reference's dequant-to-scratch + cublasLt path (quantizer.cu:249 +
+gemm.cu:93)."""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from koifish_tpu.dtypes import QFormat
+from koifish_tpu.quant.qtensor import QTensor, codebook_for
+
+
+def _ref_qmatmul(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
+    wd = w.dequantize(x.dtype)
+    return jnp.dot(x, wd, preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def _platform_is_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
+    """Dispatch: Pallas fused kernel when eligible, else XLA dequant+dot."""
+    m = int(jnp.size(x) // x.shape[-1])
+    k, n = w.shape[0], w.shape[-1]
+    eligible = (
+        _platform_is_tpu()
+        and w.fmt in (QFormat.INT8, QFormat.INT4, QFormat.NF4)
+        and w.zeros is None
+        and k % 256 == 0 and n % 256 == 0
+        and w.group in (128, 256)
+        and m >= 8
+    )
+    if not eligible:
+        return _ref_qmatmul(x, w, out_dtype)
+    lead = x.shape[:-1]
+    x2 = x.reshape(m, k)
+    pad_m = (-m) % 256
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    y = _qmm(x2, w.codes, w.scales, fmt=w.fmt, group=w.group, k=k)
+    if pad_m:
+        y = y[:m]
+    return y.reshape(*lead, n).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "group", "k"))
+def _qmm(x, codes, scales, *, fmt: QFormat, group: int, k: int):
+    m, n = x.shape[0], codes.shape[-1]
+    bm, bn, bk = 256, 256, 256
+    grid = (m // bm, n // bn, k // bk)
+    cpb = fmt.codes_per_byte if fmt.is_sub_byte else 1
+
+    kernel = functools.partial(_qmm_kernel, fmt=fmt, group=group, bk=bk)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, t: (i, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // cpb, bn), lambda i, j, t: (t, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // group, bn), lambda i, j, t: (t, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, t: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + k * n // cpb + m * n * 2,
+            transcendentals=0,
+        ),
+    )(x, codes, scales)
+
+
+def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, fmt, group, bk):
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    codes = w_ref[:]
+    if fmt is QFormat.INT8:
+        wf = codes.astype(jnp.float32)
+    else:
+        # unpack 2 nibbles per byte along axis 0 (packed axis = K)
+        lo = (codes & 0x0F).astype(jnp.int32)
+        hi = ((codes >> 4) & 0x0F).astype(jnp.int32)
+        raw = jnp.stack([lo, hi], axis=1).reshape(bk, -1)
+        if fmt is QFormat.NF4:
+            wf = codebook_for(fmt)[raw]
+        else:  # INT4 biased by 8
+            wf = raw.astype(jnp.float32) - 8.0
+    # apply per-group scales: [bk/group, bn] -> broadcast over group rows
+    s = s_ref[:].astype(jnp.float32)
+    wf = wf.reshape(bk // group, group, -1) * s[:, None, :]
+    wf = wf.reshape(bk, -1).astype(jnp.bfloat16)
+
+    acc_ref[:] += jnp.dot(x_ref[:], wf, preferred_element_type=jnp.float32)
+
+    @pl.when(t == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)

@@ -1,0 +1,146 @@
+"""Decode engine: batched prefill + jitted single-token decode step.
+
+Rebuilds the reference's generation path (``Fish::Chat`` →
+``SelfAttention::cuInfer``/``FFN::cuInfer``, src/Manifold/GoPT.cpp:1111,
+src/Device/CUDA/QKV.cu:617) TPU-first:
+
+- prefill is **batched** over the whole prompt in one forward (the
+  reference feeds prompt tokens one at a time, GoPT.cpp:1139-1146 — a
+  deliberate improvement, SURVEY.md §7 layer 4);
+- the decode step is one jitted function (embed→L×block→head→sample) with
+  donated cache, so the token loop does no host round-trip for sampling.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from koifish_tpu.config import ModelCard, SamplerCard
+from koifish_tpu.models.transformer import (
+    Params, _norm, gather_embed, lm_head, mlp, qkv_project)
+from koifish_tpu.ops.attention import causal_attention, decode_attention
+from koifish_tpu.ops.matmul import linear
+from koifish_tpu.ops.rope import rope_freqs
+from koifish_tpu.ops.sampling import sample_logits
+from koifish_tpu.serve import kvcache as kvc
+from koifish_tpu.serve.kvcache import KVCache
+
+
+def _rope_tables(card: ModelCard):
+    if card.pos_embed != "rope":
+        return None, None
+    return rope_freqs(card.head_dim, card.max_pos, card.rope_theta,
+                      card.rope_scaling_dict())
+
+
+def prefill(card: ModelCard, params: Params, tokens: jax.Array,
+            cache: KVCache) -> Tuple[jax.Array, KVCache]:
+    """Run a [B, T] prompt chunk, filling the cache. Returns last-position
+    logits [B, V]. Requires pos + T <= cache.size (no ring wrap mid-prefill;
+    the ring only rolls during decode)."""
+    B, T = tokens.shape
+    start = cache.pos[0]                       # uniform-start batch
+    positions = start + jnp.arange(T, dtype=jnp.int32)
+    positions = jnp.minimum(positions, card.max_pos - 1)
+    cos, sin = _rope_tables(card)
+    S = cache.size
+
+    x = gather_embed(params["wte"], tokens)
+    if card.pos_embed == "learned":
+        x = x + jnp.take(params["wpe"], positions, axis=0)
+
+    # slot s holds absolute position s in the linear (un-wrapped) region;
+    # q token i sits at absolute position start+i ⇒ attend slots s <= start+i
+    slot_ids = jnp.arange(S)[None, :]                       # [1, S]
+    qpos = (start + jnp.arange(T))[:, None]                 # [T, 1]
+    allowed = slot_ids <= qpos                              # [T, S]
+
+    for li, lp in enumerate(params["layers"]):
+        h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
+        q, k, v = qkv_project(card, lp, h, cos, sin, positions)
+        cache = kvc.write_prefill(cache, li, k, v, start)
+        kc, vc, _ = kvc.read_layer(cache, li, extra=T)
+        a = causal_attention(q, kc, vc, mask=allowed, causal=False)
+        a = linear(a.reshape(B, T, -1), lp["o"], lp.get("o_b"))
+        x = x + a
+        h = _norm(card, x, lp["ln2"], lp.get("ln2_b"))
+        x = x + mlp(card, lp, h)
+
+    x = _norm(card, x, params["ln_f"], params.get("ln_f_b"))
+    logits = lm_head(card, params, x[:, -1:])[:, 0]
+    return logits, kvc.advance(cache, T)
+
+
+def decode_step(card: ModelCard, params: Params, token: jax.Array,
+                cache: KVCache) -> Tuple[jax.Array, KVCache]:
+    """One decode step: token [B] -> logits [B, V], updated cache."""
+    B = token.shape[0]
+    positions = jnp.minimum(cache.pos, card.max_pos - 1)[:, None]  # [B, 1]
+    cos, sin = _rope_tables(card)
+
+    x = gather_embed(params["wte"], token[:, None])   # [B, 1, E]
+    if card.pos_embed == "learned":
+        x = x + jnp.take(params["wpe"], positions[:, 0], axis=0)[:, None]
+
+    for li, lp in enumerate(params["layers"]):
+        h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
+        q, k, v = qkv_project(card, lp, h, cos, sin, positions)
+        cache = kvc.write_token(cache, li, k[:, 0], v[:, 0])
+        kc, vc, valid = kvc.read_layer(cache, li, extra=1)
+        a = decode_attention(q[:, 0], kc, vc, valid)
+        a = linear(a.reshape(B, 1, -1), lp["o"], lp.get("o_b"))
+        x = x + a
+        h = _norm(card, x, lp["ln2"], lp.get("ln2_b"))
+        x = x + mlp(card, lp, h)
+
+    x = _norm(card, x, params["ln_f"], params.get("ln_f_b"))
+    logits = lm_head(card, params, x)[:, 0]
+    return logits, kvc.advance(cache, 1)
+
+
+_jit_prefill = jax.jit(prefill, static_argnames=("card",))
+
+
+@functools.partial(jax.jit, static_argnames=("card", "sampler"),
+                   donate_argnames=("cache",))
+def _jit_decode_sample(card, params, token, cache, rng, sampler):
+    logits, cache = decode_step(card, params, token, cache)
+    rng, sub = jax.random.split(rng)
+    nxt = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
+                        sampler.top_p, sampler.min_p)
+    return nxt, cache, rng
+
+
+def generate(
+    card: ModelCard,
+    params: Params,
+    prompt: jax.Array,                 # [B, T] int32
+    cache: KVCache,
+    sampler: Optional[SamplerCard] = None,
+    max_new_tokens: int = 64,
+    eos_id: int = -1,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Host-driven generation loop over the jitted decode step. Returns
+    (generated tokens [B, <=max_new], cache)."""
+    sampler = sampler or SamplerCard()
+    rng = rng if rng is not None else jax.random.PRNGKey(sampler.seed)
+
+    logits, cache = _jit_prefill(card, params, prompt, cache)
+    rng, sub = jax.random.split(rng)
+    tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
+                        sampler.top_p, sampler.min_p)
+    out = [tok]
+    done = tok == eos_id
+    for _ in range(max_new_tokens - 1):
+        if bool(done.all()):
+            break
+        tok, cache, rng = _jit_decode_sample(card, params, tok, cache,
+                                             rng, sampler)
+        tok = jnp.where(done, eos_id, tok)
+        done = done | (tok == eos_id)
+        out.append(tok)
+    return jnp.stack(out, axis=1), cache

@@ -1,0 +1,158 @@
+"""Ring-buffer KV cache with StreamingLLM attention sinks + INT8/INT4 KV.
+
+TPU-native rebuild of the reference's decode KV state (``KERNEL_PIPE``:
+rolling ``kv_pos`` ring with ``KV_SINKS=2`` pinned tokens,
+src/Device/Pipe.hpp:160, 259-266) and its (flag-gated) KV-quant research
+modes (src/CLI_params.hpp:488-492, quantizer.cu:844-1050) — here the
+quantized KV path is first-class.
+
+Slot policy: positions ``0..sinks-1`` are pinned; later positions map to
+``sinks + (pos - sinks) % (size - sinks)`` — identical ring semantics.
+Keys are stored RoPE'd at their absolute position (rotation-at-write).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from koifish_tpu.dtypes import QFormat
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Per-model cache: leading axis = layer. ``pos`` is the global position
+    counter per sequence (monotonic, may exceed ``size``)."""
+
+    k: jax.Array                      # [L,B,S,H,D] bf16 — or int8 codes
+    v: jax.Array                      # [L,B,S,H,D]
+    k_scale: Optional[jax.Array]      # [L,B,S,H] f32 (quantized KV only)
+    v_scale: Optional[jax.Array]
+    pos: jax.Array                    # [B] int32
+    fmt: QFormat = dataclasses.field(default=QFormat.BF16,
+                                     metadata=dict(static=True))
+    sinks: int = dataclasses.field(default=2, metadata=dict(static=True))
+
+    @property
+    def size(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def n_layers(self) -> int:
+        return self.k.shape[0]
+
+
+def init_cache(n_layers: int, batch: int, size: int, n_kv_head: int,
+               head_dim: int, fmt: QFormat = QFormat.BF16, sinks: int = 2,
+               ) -> KVCache:
+    shape = (n_layers, batch, size, n_kv_head, head_dim)
+    if fmt is QFormat.BF16:
+        k = jnp.zeros(shape, jnp.bfloat16)
+        v = jnp.zeros(shape, jnp.bfloat16)
+        ks = vs = None
+    elif fmt in (QFormat.INT8, QFormat.INT4):
+        # INT4 stored unpacked in int8 lanes (codes in [-8,7]); the packed
+        # layout only pays off inside a fused Pallas attention kernel.
+        k = jnp.zeros(shape, jnp.int8)
+        v = jnp.zeros(shape, jnp.int8)
+        ks = jnp.zeros(shape[:4], jnp.float32)
+        vs = jnp.zeros(shape[:4], jnp.float32)
+    else:
+        raise ValueError(f"unsupported KV format {fmt}")
+    return KVCache(k=k, v=v, k_scale=ks, v_scale=vs,
+                   pos=jnp.zeros((batch,), jnp.int32), fmt=fmt, sinks=sinks)
+
+
+def ring_slot(pos: jax.Array, size: int, sinks: int) -> jax.Array:
+    """Map absolute position -> cache slot (sinks pinned, rest ring)."""
+    wrapped = sinks + (pos - sinks) % (size - sinks)
+    return jnp.where(pos < size, pos, wrapped).astype(jnp.int32)
+
+
+def _quant_kv(x: jax.Array, fmt: QFormat) -> Tuple[jax.Array, jax.Array]:
+    """Per-(token, head) absmax quantization of a K/V vector [..., D]."""
+    qmax = 127.0 if fmt is QFormat.INT8 else 7.0
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax / qmax, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -qmax - 1, qmax).astype(jnp.int8)
+    return q, scale
+
+
+def advance(cache: KVCache, n) -> KVCache:
+    """Advance the position counter by ``n`` (once per decode/prefill step —
+    writes themselves never move it, so every layer sees the same slots)."""
+    return dataclasses.replace(cache, pos=cache.pos + n)
+
+
+def write_token(cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
+                ) -> KVCache:
+    """Write one token's K/V ([B, H, D]) for ``layer`` at each sequence's
+    current position. Does NOT advance ``pos`` — call :func:`advance`."""
+    B = k_new.shape[0]
+    slots = ring_slot(cache.pos, cache.size, cache.sinks)      # [B]
+    bidx = jnp.arange(B)
+
+    def upd(buf, val):  # buf [L,B,S,...] <- val [B,...] at per-seq slots
+        return buf.at[layer].set(buf[layer].at[bidx, slots].set(val))
+
+    if cache.fmt is QFormat.BF16:
+        k = upd(cache.k, k_new.astype(cache.k.dtype))
+        v = upd(cache.v, v_new.astype(cache.v.dtype))
+        ks, vs = cache.k_scale, cache.v_scale
+    else:
+        kq, ksc = _quant_kv(k_new, cache.fmt)
+        vq, vsc = _quant_kv(v_new, cache.fmt)
+        k = upd(cache.k, kq)
+        v = upd(cache.v, vq)
+        ks = upd(cache.k_scale, ksc)
+        vs = upd(cache.v_scale, vsc)
+    return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)
+
+
+def write_prefill(cache: KVCache, layer: int, k_new: jax.Array,
+                  v_new: jax.Array, start: jax.Array) -> KVCache:
+    """Write a [B, T, H, D] prefill chunk starting at absolute position
+    ``start`` (same for all sequences; T must be <= size - this is the
+    batched-prefill improvement over the reference's token-by-token loop,
+    GoPT.cpp:1139). Does NOT advance ``pos``."""
+    B, T = k_new.shape[:2]
+    pos = start + jnp.arange(T)                                 # [T]
+    slots = ring_slot(pos, cache.size, cache.sinks)             # [T]
+
+    def upd(buf, val):  # buf [L,B,S,...] <- val [B,T,...] at shared slots
+        return buf.at[layer].set(buf[layer].at[:, slots].set(val))
+
+    if cache.fmt is QFormat.BF16:
+        k = upd(cache.k, k_new.astype(cache.k.dtype))
+        v = upd(cache.v, v_new.astype(cache.v.dtype))
+        ks, vs = cache.k_scale, cache.v_scale
+    else:
+        kq, ksc = _quant_kv(k_new, cache.fmt)
+        vq, vsc = _quant_kv(v_new, cache.fmt)
+        k = upd(cache.k, kq)
+        v = upd(cache.v, vq)
+        ks = upd(cache.k_scale, ksc)
+        vs = upd(cache.v_scale, vsc)
+    return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)
+
+
+def read_layer(cache: KVCache, layer: int, extra: int = 0,
+               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (k, v, valid_mask) for a layer: k/v [B,S,H,D] bf16, mask [B,S].
+    ``extra`` counts tokens written this step but not yet reflected in
+    ``pos`` (writes don't advance it).
+
+    Quantized caches are dequantized here; the fused Pallas decode-attention
+    kernel (ops/pallas) reads codes directly instead.
+    """
+    valid = jnp.arange(cache.size)[None, :] < jnp.minimum(
+        cache.pos + extra, cache.size)[:, None]
+    k, v = cache.k[layer], cache.v[layer]
+    if cache.fmt is not QFormat.BF16:
+        k = (k.astype(jnp.float32) * cache.k_scale[layer][..., None]).astype(jnp.bfloat16)
+        v = (v.astype(jnp.float32) * cache.v_scale[layer][..., None]).astype(jnp.bfloat16)
+    return k, v, valid

@@ -1,0 +1,162 @@
+"""Native optimizers: AdamW and Muon (Newton–Schulz) with the reference's
+stability guards.
+
+TPU rebuild of the fused update pipes (``PIPE_Adamw``/``PIPE_Muon``,
+reference: src/Device/Pipe.hpp:18-147, CUDA/Optimizer.cu:135-580):
+- f32 optimizer math on bf16 parameter storage (CU_adamw_p semantics)
+- global grad-norm clip before the update (GTensor::Dogleg,
+  src/Manifold/Optimizer.cpp:310-371)
+- per-element update spike guard ``T_spike`` (Pipe.hpp:42,
+  Optimizer.cu:148-150) — updates larger than T_spike×lr are clamped and
+  counted, feeding instability detection
+- Muon: momentum → 5-iteration Newton–Schulz orthogonalization (on TPU
+  this is just five jitted matmul pairs on the MXU) with RMS-matched lr
+  scaling; non-2D params fall back to AdamW (reference Optimizer.cu:487-580)
+
+All state is an ordinary pytree — shardable with the same PartitionSpecs
+as the params (ZeRO-style optimizer sharding, SURVEY.md §2.7).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+T_SPIKE = 50.0  # reference Pipe.hpp:42
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class OptState:
+    m: Any                    # first moment / momentum (f32)
+    v: Optional[Any]          # second moment (adamw) — None for pure muon
+    step: jax.Array           # i32 scalar
+    spikes: jax.Array         # i32 scalar — spike-guard trip count
+
+
+def _tmap(f, *trees):
+    return jax.tree_util.tree_map(f, *trees)
+
+
+def global_norm(tree) -> jax.Array:
+    leaves = [jnp.sum(jnp.square(x.astype(jnp.float32)))
+              for x in jax.tree_util.tree_leaves(tree)]
+    return jnp.sqrt(sum(leaves))
+
+
+def clip_by_global_norm(grads, max_norm: float) -> Tuple[Any, jax.Array]:
+    gnorm = global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
+    return _tmap(lambda g: (g.astype(jnp.float32) * scale), grads), gnorm
+
+
+def init_opt_state(params, optimizer: str = "adamw") -> OptState:
+    zeros = _tmap(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    v = zeros if optimizer in ("adamw", "muon") else None
+    if v is not None:
+        v = _tmap(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    return OptState(m=zeros, v=v, step=jnp.zeros((), jnp.int32),
+                    spikes=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# AdamW
+# ---------------------------------------------------------------------------
+
+def adamw_update(p, g, m, v, *, lr, beta1, beta2, eps, weight_decay, step,
+                 decay_mask=True):
+    pf = p.astype(jnp.float32)
+    m = beta1 * m + (1 - beta1) * g
+    v = beta2 * v + (1 - beta2) * jnp.square(g)
+    mhat = m / (1 - beta1 ** step)
+    vhat = v / (1 - beta2 ** step)
+    upd = mhat / (jnp.sqrt(vhat) + eps)
+    # spike guard (T_spike): clamp runaway per-element updates
+    spiked = jnp.abs(upd) > T_SPIKE
+    upd = jnp.clip(upd, -T_SPIKE, T_SPIKE)
+    if decay_mask:
+        upd = upd + weight_decay * pf
+    new_p = (pf - lr * upd).astype(p.dtype)
+    return new_p, m, v, jnp.sum(spiked, dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Muon — Newton–Schulz orthogonalization
+# ---------------------------------------------------------------------------
+
+_NS_COEFFS = (3.4445, -4.7750, 2.0315)  # quintic NS iteration coefficients
+
+
+def newton_schulz(G: jax.Array, steps: int = 5) -> jax.Array:
+    """Approximate UV^T of G's SVD via odd-polynomial iteration — five
+    matmul pairs on the MXU (reference PIPE_Muon::CU_core does the same
+    with in-kernel GEMMs, Optimizer.cu:487-580)."""
+    a, b, c = _NS_COEFFS
+    X = G.astype(jnp.bfloat16)
+    transposed = X.shape[0] > X.shape[1]
+    if transposed:
+        X = X.T
+    X = X / (jnp.linalg.norm(X.astype(jnp.float32)) + 1e-7).astype(jnp.bfloat16)
+    for _ in range(steps):
+        A = X @ X.T
+        B = b * A + c * (A @ A)
+        X = a * X + B @ X
+    if transposed:
+        X = X.T
+    return X.astype(jnp.float32)
+
+
+def muon_update(p, g, mom, *, lr, momentum, weight_decay):
+    pf = p.astype(jnp.float32)
+    mom = momentum * mom + g
+    u = newton_schulz(momentum * mom + g)  # nesterov-style lookahead
+    # RMS-match: scale so the update's RMS is comparable to AdamW's
+    u = u * (0.2 * (max(p.shape[0], p.shape[-1]) ** 0.5))
+    new_p = (pf - lr * (u + weight_decay * pf)).astype(p.dtype)
+    return new_p, mom
+
+
+# ---------------------------------------------------------------------------
+# combined apply
+# ---------------------------------------------------------------------------
+
+def apply_updates(params, grads, opt: OptState, *, optimizer: str, lr,
+                  beta1=0.9, beta2=0.95, eps=1e-8, weight_decay=0.1,
+                  muon_momentum=0.95, grad_clip=1.0,
+                  ) -> Tuple[Any, OptState, Dict[str, jax.Array]]:
+    """One optimizer step over the whole param pytree (grads already
+    averaged). Returns (params, opt_state, metrics)."""
+    grads, gnorm = clip_by_global_norm(grads, grad_clip)
+    step = opt.step + 1
+    spikes = jnp.zeros((), jnp.int32)
+
+    p_leaves, treedef = jax.tree_util.tree_flatten(params)
+    g_leaves = treedef.flatten_up_to(grads)
+    m_leaves = treedef.flatten_up_to(opt.m)
+    v_leaves = treedef.flatten_up_to(opt.v) if opt.v is not None else [None] * len(p_leaves)
+
+    new_p, new_m, new_v = [], [], []
+    for p, g, m, v in zip(p_leaves, g_leaves, m_leaves, v_leaves):
+        use_muon = optimizer == "muon" and p.ndim == 2 and p.shape[0] >= 64 \
+            and p.shape[1] >= 64
+        decay = p.ndim >= 2  # no weight decay on norms/biases
+        if use_muon:
+            np_, nm = muon_update(p, g, m, lr=lr, momentum=muon_momentum,
+                                  weight_decay=weight_decay if decay else 0.0)
+            nv = v
+        else:
+            np_, nm, nv, sp = adamw_update(
+                p, g, m, v, lr=lr, beta1=beta1, beta2=beta2, eps=eps,
+                weight_decay=weight_decay if decay else 0.0, step=step)
+            spikes = spikes + sp
+        new_p.append(np_)
+        new_m.append(nm)
+        new_v.append(nv)
+
+    params = jax.tree_util.tree_unflatten(treedef, new_p)
+    m = jax.tree_util.tree_unflatten(treedef, new_m)
+    v = jax.tree_util.tree_unflatten(treedef, new_v) if opt.v is not None else None
+    metrics = {"grad_norm": gnorm, "spikes": spikes}
+    return params, OptState(m=m, v=v, step=step, spikes=opt.spikes + spikes), metrics

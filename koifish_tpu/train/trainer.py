@@ -1,0 +1,184 @@
+"""Training driver — the analog of ``Optimizer::Search``
+(reference: src/Manifold/Optimizer.cpp:580-680).
+
+TPU-first restructuring: instead of the reference's per-tensor fused
+update inside the backward sweep (``GTensor::Dogleg``), the whole
+(loss → grad → clip → update) is ONE jitted, donated function; XLA owns
+buffer reuse, which is what the reference's shared-grad-buffer trick
+hand-implements. Gradient accumulation runs as a ``lax.scan`` over
+micro-batches inside the same jit.
+
+Keeps the reference's auxiliary behaviors (SURVEY.md §5.3):
+- NaN/inf loss & grad detection with emergency checkpoint
+- loss-validity asserts (0 < loss < 100, gLLM.cpp:780)
+- spike-guard counters from the optimizer
+- loss-curve recording to CSV (StepInfos analog, DataLoader.hpp:43-71)
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from koifish_tpu.config import ModelCard, TrainCard
+from koifish_tpu.models.transformer import model_forward
+from koifish_tpu.ops.cross_entropy import cross_entropy_loss
+from koifish_tpu.train.optimizer import OptState, apply_updates, init_opt_state
+from koifish_tpu.train.schedule import lr_at
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt: OptState
+    rng: jax.Array
+
+
+def compute_loss(card: ModelCard, params, tokens, loss_mask=None,
+                 remat: bool = False):
+    """Next-token CE over [B, T] tokens (targets = tokens shifted)."""
+    logits = model_forward(card, params, tokens[:, :-1], remat=remat)
+    targets = tokens[:, 1:]
+    mask = loss_mask[:, 1:] if loss_mask is not None else None
+    loss, per_tok = cross_entropy_loss(logits, targets, mask)
+    return loss, per_tok
+
+
+def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
+                    ) -> Callable:
+    """Builds the jitted (state, batch) -> (state, metrics) step."""
+
+    def micro_grads(params, tokens, loss_mask):
+        def loss_fn(p):
+            loss, _ = compute_loss(card, p, tokens, loss_mask,
+                                   remat=tcard.remat)
+            return loss
+        return jax.value_and_grad(loss_fn)(params)
+
+    @functools.partial(jax.jit, donate_argnames=("state",))
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        tokens = batch["tokens"]            # [A, B, T+1] (A = accum)
+        loss_mask = batch.get("loss_mask")  # [A, B, T+1] or None
+        accum = tokens.shape[0]
+
+        def body(carry, xs):
+            acc_g, acc_l = carry
+            tok = xs["tokens"]
+            msk = xs.get("loss_mask")
+            loss, g = micro_grads(state.params, tok, msk)
+            acc_g = jax.tree_util.tree_map(
+                lambda a, b: a + b.astype(jnp.float32), acc_g, g)
+            return (acc_g, acc_l + loss), None
+
+        zero_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        xs = {"tokens": tokens}
+        if loss_mask is not None:
+            xs["loss_mask"] = loss_mask
+        (grads, loss_sum), _ = jax.lax.scan(body, (zero_g, 0.0), xs)
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+        loss = loss_sum / accum
+
+        lr = lr_at(state.opt.step, kind=tcard.scheduler, base_lr=tcard.lr,
+                   total_steps=total_steps, warmup=tcard.warmup,
+                   min_ratio=tcard.lr_min_ratio)
+        params, opt, metrics = apply_updates(
+            state.params, grads, state.opt, optimizer=tcard.optimizer, lr=lr,
+            beta1=tcard.beta1, beta2=tcard.beta2, eps=tcard.eps,
+            weight_decay=tcard.weight_decay, muon_momentum=tcard.muon_momentum,
+            grad_clip=tcard.grad_clip)
+        metrics = dict(metrics, loss=loss, lr=lr)
+        rng, _ = jax.random.split(state.rng)
+        return TrainState(params=params, opt=opt, rng=rng), metrics
+
+    return step
+
+
+@dataclasses.dataclass
+class StepInfo:
+    """Loss-curve recorder → CSV (``StepInfos``, DataLoader.hpp:43-71)."""
+    rows: list = dataclasses.field(default_factory=list)
+
+    def add(self, it: int, loss: float, lr: float, dt: float, tps: float):
+        self.rows.append((it, loss, lr, dt, tps))
+
+    def save_csv(self, path: str):
+        with open(path, "w") as f:
+            f.write("iter,loss,lr,step_time,tokens_per_sec\n")
+            for r in self.rows:
+                f.write(",".join(f"{x:.6g}" for x in r) + "\n")
+
+    @property
+    def losses(self):
+        return [r[1] for r in self.rows]
+
+
+class TrainingInstability(RuntimeError):
+    pass
+
+
+def train_loop(
+    card: ModelCard,
+    tcard: TrainCard,
+    state: TrainState,
+    batches: Iterator[Dict[str, jax.Array]],
+    total_steps: int,
+    log_fn: Optional[Callable[[str], None]] = print,
+    eval_fn: Optional[Callable[[TrainState, int], Dict[str, float]]] = None,
+    save_fn: Optional[Callable[[TrainState, int, str], None]] = None,
+) -> Tuple[TrainState, StepInfo]:
+    """Host loop around the jitted step — ``Optimizer::Search`` analog with
+    the reference's instability handling (emergency checkpoint then abort,
+    Optimizer.cpp:176-179)."""
+    step = make_train_step(card, tcard, total_steps)
+    infos = StepInfo()
+    tokens_per_batch = None
+    for it, batch in enumerate(batches):
+        if 0 <= tcard.most_iter <= it:
+            break
+        if it >= total_steps:
+            break
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch)
+        loss = float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        if tokens_per_batch is None:
+            tokens_per_batch = int(jnp.size(batch["tokens"]))
+        tps = tokens_per_batch / dt
+        infos.add(it, loss, float(metrics["lr"]), dt, tps)
+
+        # instability detection (README "automatic detection of training
+        # instability"; loss-validity assert gLLM.cpp:780)
+        if not (0.0 < loss < 100.0) or not jnp.isfinite(
+                jnp.asarray(metrics["grad_norm"])):
+            if save_fn:
+                save_fn(state, it, "emergency")
+            raise TrainingInstability(
+                f"iter {it}: loss={loss} grad_norm={float(metrics['grad_norm'])}")
+
+        if log_fn and tcard.dump_every and it % tcard.dump_every == 0:
+            log_fn(f"[{it}] loss={loss:.4f} lr={float(metrics['lr']):.2e} "
+                   f"gnorm={float(metrics['grad_norm']):.3f} "
+                   f"T={dt:.2f}s {tps/1e3:.1f}K tok/s")
+        if eval_fn and tcard.eval_every and it and it % tcard.eval_every == 0:
+            eval_fn(state, it)
+        if save_fn and tcard.save_every and it and it % tcard.save_every == 0:
+            save_fn(state, it, "periodic")
+    return state, infos
+
+
+def init_train_state(card: ModelCard, tcard: TrainCard,
+                     key: Optional[jax.Array] = None,
+                     params=None) -> TrainState:
+    key = key if key is not None else jax.random.PRNGKey(tcard.seed)
+    if params is None:
+        from koifish_tpu.models import init_params
+        params = init_params(card, key)
+    return TrainState(params=params,
+                      opt=init_opt_state(params, tcard.optimizer),
+                      rng=key)

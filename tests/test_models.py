@@ -1,0 +1,106 @@
+"""Model forward correctness: shapes, arch variants, quantize-at-load
+parity, determinism."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from koifish_tpu.config import CLIParams, ModelCard, QuantCard
+from koifish_tpu.models import init_params, model_forward
+from koifish_tpu.quant.apply import quantize_params
+
+
+def tiny_card(arch="QWEN3", **kw):
+    base = dict(vocab_size=512, n_layer=2, n_embd=128, n_head=4, n_kv_head=2,
+                head_dim=32, n_ffn=256, n_ctx=64, max_pos=128)
+    if arch == "GPT2":
+        base.update(n_kv_head=4)
+    base.update(kw)
+    return ModelCard.from_arch(arch, **base)
+
+
+@pytest.mark.parametrize("arch", ["QWEN3", "QWEN2", "GPT2", "LLAMA"])
+def test_forward_shapes(arch):
+    card = tiny_card(arch)
+    params = init_params(card, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, card.vocab_size)
+    logits = jax.jit(lambda p, t: model_forward(card, p, t))(params, tokens)
+    assert logits.shape == (2, 16, card.vocab_size)
+    assert logits.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_forward_causality():
+    """Changing a future token must not change past logits."""
+    card = tiny_card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    t1 = jnp.zeros((1, 16), jnp.int32)
+    t2 = t1.at[0, 10].set(7)
+    l1 = model_forward(card, params, t1)
+    l2 = model_forward(card, params, t2)
+    np.testing.assert_allclose(np.asarray(l1[0, :10]), np.asarray(l2[0, :10]),
+                               rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(l1[0, 10]), np.asarray(l2[0, 10]))
+
+
+def test_quantize_at_load_close():
+    """INT8-quantized model must track the bf16 model closely (the analog of
+    the reference's quant-error invariant, GeQuant.cpp:888-897)."""
+    card = tiny_card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    qcard = QuantCard.from_json({"self_attn": {"bits": 8}, "mlp": {"bits": 8},
+                                 "group_size": 64})
+    qparams = quantize_params(params, qcard)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, card.vocab_size)
+    lf = model_forward(card, params, tokens)
+    lq = model_forward(card, qparams, tokens)
+    # logit agreement in probability space
+    pf = jax.nn.softmax(lf, axis=-1)
+    pq = jax.nn.softmax(lq, axis=-1)
+    assert float(jnp.abs(pf - pq).max()) < 0.05
+
+
+def test_quantized_embed_head():
+    card = tiny_card(n_embd=128)
+    params = init_params(card, jax.random.PRNGKey(0))
+    qcard = QuantCard.from_json({"embed_tokens": {"bits": 8}, "group_size": 64})
+    qparams = quantize_params(params, qcard)
+    from koifish_tpu.quant.qtensor import QTensor
+    assert isinstance(qparams["wte"], QTensor)
+    assert qparams["wte"].shape == (card.n_embd, card.vocab_size)
+    tokens = jnp.arange(8, dtype=jnp.int32)[None]
+    lf = model_forward(card, params, tokens)
+    lq = model_forward(card, qparams, tokens)
+    pf = jax.nn.softmax(lf, -1)
+    pq = jax.nn.softmax(lq, -1)
+    assert float(jnp.abs(pf - pq).max()) < 0.05
+
+
+def test_config_port_reference_json():
+    """A reference-style config JSON parses into the right ModelCard."""
+    raw = {
+        "quantizer": {"self_attn": {"quant_method": "RTN", "bits": 4},
+                      "mlp": {"quant_method": "RTN", "bits": 4},
+                      "group_size": 128},
+        "model": {
+            "arch": "QWEN3",
+            "parameter": {
+                "Layer": 6,
+                "transformer": {"Ctx": 1024, "Embed": 1024, "Ffn": 3072,
+                                "Head": 16, "KVHead": 8, "head_dim": 128},
+                "tie_word_embeddings": True,
+                "max_pos_embeddings": 32768,
+            },
+        },
+        "train": {"batch": 16, "learning-rate": 0.0006,
+                  "optimizatioin": {"method": "adamw", "grad_accumulation": 1}},
+        "seed": 42,
+    }
+    p = CLIParams.from_json(raw)
+    assert p.model.arch == "QWEN3" and p.model.n_layer == 6
+    assert p.model.n_head == 16 and p.model.n_kv_head == 8
+    assert p.model.head_dim == 128 and p.model.qk_norm
+    assert p.train.lr == 0.0006 and p.train.batch == 16
+    assert len(p.quant.rules) == 2
+    from koifish_tpu.dtypes import QFormat
+    assert p.quant.rule_for("model.layers.0.self_attn.q_proj").fmt == QFormat.INT4

@@ -1,0 +1,91 @@
+"""Quantization correctness: pack/unpack round-trip, RTN error bounds,
+format sweep — the analog of the reference's GPU-vs-CPU quant cross-check
+(errGPU < 1e-3, src/Tensor/GeQuant.cpp:888-897)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from koifish_tpu.dtypes import QFormat
+from koifish_tpu.quant import (
+    QTensor, fake_quant, pack_codes, quant_error, quantize, quantize_best,
+    unpack_codes,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize("fmt", [QFormat.INT4, QFormat.INT2, QFormat.TERNARY,
+                                 QFormat.BINARY, QFormat.NF4, QFormat.NF3,
+                                 QFormat.INT3])
+def test_pack_roundtrip(fmt):
+    n, m = 256, 64
+    maxcode = (1 << fmt.pack_bits) - 1
+    codes = jax.random.randint(KEY, (n, m), 0, maxcode + 1, dtype=jnp.int32)
+    codes = codes.astype(jnp.uint8)
+    packed = pack_codes(codes, fmt)
+    assert packed.shape == (n // fmt.codes_per_byte, m)
+    out = unpack_codes(packed, fmt, n)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+
+# expected relative-error ceilings for Gaussian weights (reference observes
+# 6.3–15.8% for 4-bit RTN, GeQuant.cpp:885; target T_errQ=0.3)
+_ERR_BOUND = {
+    QFormat.INT8: 0.01,
+    QFormat.INT4: 0.12,
+    QFormat.NF4: 0.10,
+    QFormat.INT3: 0.30,
+    QFormat.NF3: 0.22,
+    QFormat.INT2: 0.55,
+    QFormat.TERNARY: 0.60,
+    QFormat.BINARY: 0.85,
+}
+
+
+@pytest.mark.parametrize("fmt", list(_ERR_BOUND))
+def test_rtn_error(fmt):
+    w = jax.random.normal(KEY, (512, 256), dtype=jnp.float32)
+    qt = quantize(w, fmt, group=128)
+    err = float(quant_error(w, qt))
+    assert err < _ERR_BOUND[fmt], f"{fmt}: err {err}"
+    # memory: packed codes really are sub-byte
+    bits_per_w = qt.nbytes() * 8 / w.size
+    assert bits_per_w < fmt.pack_bits + 1.1 if fmt.is_sub_byte else True
+
+
+def test_int8_asymmetric():
+    w = jax.random.normal(KEY, (256, 128)) + 3.0  # shifted distribution
+    sym = quantize(w, QFormat.INT8, symmetric=True)
+    asym = quantize(w, QFormat.INT8, symmetric=False)
+    assert float(quant_error(w, asym)) < float(quant_error(w, sym))
+
+
+def test_int4_asymmetric_roundtrip():
+    w = jax.random.uniform(KEY, (256, 64), minval=0.0, maxval=1.0)
+    qt = quantize(w, QFormat.INT4, symmetric=False)
+    assert qt.zeros is not None
+    assert float(quant_error(w, qt)) < 0.05
+
+
+def test_quantize_best_sweep():
+    w = jax.random.normal(KEY, (256, 64))
+    qt, err = quantize_best(w, [QFormat.INT4, QFormat.NF4])
+    assert qt.fmt == QFormat.NF4  # NF4 wins on Gaussian weights
+    assert err < 0.10
+
+
+def test_fake_quant_shape_dtype():
+    w = jax.random.normal(KEY, (256, 64), dtype=jnp.bfloat16)
+    fq = fake_quant(w, QFormat.INT4)
+    assert fq.shape == w.shape and fq.dtype == w.dtype
+
+
+def test_qtensor_is_pytree():
+    w = jax.random.normal(KEY, (256, 64))
+    qt = quantize(w, QFormat.INT4)
+    leaves = jax.tree_util.tree_leaves(qt)
+    assert len(leaves) == 2  # codes + scales
+    # jit through a QTensor argument
+    f = jax.jit(lambda q: q.dequantize(jnp.float32).sum())
+    f(qt)
