@@ -1,0 +1,82 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Headline metric (BASELINE.md): GPT2-124M pretraining throughput,
+tokens/sec/chip, vs the reference's ~140k tok/s on 1x RTX 4090
+(reference README.md:11). Runs on whatever jax.default_backend() is —
+the real TPU chip under the driver.
+
+Usage: python bench.py [--model gpt2-124m|qwen3-0.6b] [--steps N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from koifish_tpu.config import ModelCard, TrainCard
+from koifish_tpu.train.trainer import init_train_state, make_train_step
+
+BASELINE_TOKS = 140_000.0  # GPT2-124M on 4090, reference README.md:11
+
+
+def gpt2_124m() -> ModelCard:
+    return ModelCard.from_arch(
+        "GPT2", vocab_size=50304,  # padded to 128-multiple for MXU tiling
+        n_layer=12, n_embd=768, n_head=12, n_kv_head=12, head_dim=64,
+        n_ffn=3072, n_ctx=1024, max_pos=1024)
+
+
+def qwen3_0_6b() -> ModelCard:
+    return ModelCard.from_arch(
+        "QWEN3", vocab_size=151936, n_layer=28, n_embd=1024, n_head=16,
+        n_kv_head=8, head_dim=128, n_ffn=3072, n_ctx=1024, max_pos=32768)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="gpt2-124m")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--ctx", type=int, default=1024)
+    args = ap.parse_args()
+
+    card = gpt2_124m() if args.model == "gpt2-124m" else qwen3_0_6b()
+    tcard = TrainCard(batch=args.batch, lr=6e-4, warmup=10, optimizer="adamw",
+                      remat=True)
+    step = make_train_step(card, tcard, total_steps=1000)
+    state = init_train_state(card, tcard)
+
+    key = jax.random.PRNGKey(0)
+    tokens = jax.random.randint(key, (1, args.batch, args.ctx + 1), 0,
+                                card.vocab_size, dtype=jnp.int32)
+    batch = {"tokens": tokens}
+
+    # warmup/compile. NB: block_until_ready can return early on remote
+    # (tunneled) runtimes — a host fetch (float()) is the only true sync.
+    state, metrics = step(state, batch)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, batch)
+    # the final loss depends on the whole donated-state chain, so this
+    # fetch forces completion of every step above
+    final_loss = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+    assert 0.0 < final_loss < 100.0
+
+    toks_per_sec = args.batch * args.ctx / dt
+    print(json.dumps({
+        "metric": f"{args.model} pretrain throughput (1 chip, B={args.batch}, "
+                  f"ctx={args.ctx}, bf16, remat)",
+        "value": round(toks_per_sec, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(toks_per_sec / BASELINE_TOKS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

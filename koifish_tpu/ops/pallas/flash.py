@@ -24,11 +24,10 @@ def _platform_is_tpu() -> bool:
         return False
 
 
-def flash_attention_or_none(q, k, v, *, scale: float, window: int = 0
-                            ) -> Optional[jax.Array]:
+def _eligible(q, k, window: int) -> bool:
     b, tq, hq, d = q.shape
     tk, hkv = k.shape[1], k.shape[2]
-    eligible = (
+    return (
         _platform_is_tpu()
         and tq == tk                      # self-attention training/prefill
         and tq % 256 == 0
@@ -36,9 +35,41 @@ def flash_attention_or_none(q, k, v, *, scale: float, window: int = 0
         and hq % hkv == 0
         and window == 0
     )
-    if not eligible:
+
+
+def flash_attention_or_none(q, k, v, *, scale: float, window: int = 0
+                            ) -> Optional[jax.Array]:
+    """Differentiable causal attention: Pallas forward when eligible, with
+    a recompute-based backward through the XLA reference path (the fused
+    backward kernel is the analog of the reference's cuDNN bwd graph,
+    QKV.cu:216-313 — recompute-bwd costs one extra forward but keeps
+    memory O(T), matching flash semantics)."""
+    if not _eligible(q, k, window):
         return None
+    return _flash_diff(q, k, v, scale)
+
+
+def _ref_causal(q, k, v, scale):
+    from koifish_tpu.ops import attention as attn
+    return attn.causal_attention(q, k, v, scale=scale, backend="ref")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diff(q, k, v, scale):
     return _flash(q, k, v, scale=scale)
+
+
+def _flash_diff_fwd(q, k, v, scale):
+    return _flash(q, k, v, scale=scale), (q, k, v)
+
+
+def _flash_diff_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _ref_causal(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))

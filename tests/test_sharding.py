@@ -1,0 +1,89 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh: TP/FSDP param
+layouts, sharded train step parity with single-device, sharded decode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from koifish_tpu.config import ModelCard, TrainCard
+from koifish_tpu.models import init_params, model_forward
+from koifish_tpu.parallel import make_mesh, mesh_shape_for, param_specs
+from koifish_tpu.train.sharded import shard_batch, shard_train_state
+from koifish_tpu.train.trainer import init_train_state, make_train_step
+
+
+def tiny_card():
+    return ModelCard.from_arch(
+        "QWEN3", vocab_size=512, n_layer=2, n_embd=128, n_head=8, n_kv_head=4,
+        head_dim=16, n_ffn=256, n_ctx=64, max_pos=128)
+
+
+def test_mesh_shape():
+    assert mesh_shape_for(8) == {"dp": 1, "tp": 8}
+    assert mesh_shape_for(8, tp=4) == {"dp": 2, "tp": 4}
+    assert mesh_shape_for(1) == {"dp": 1, "tp": 1}
+
+
+def test_param_specs_tp():
+    card = tiny_card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    specs = param_specs(params)
+    lp = specs["layers"][0]
+    assert lp["q"] == P(None, "tp")      # column parallel
+    assert lp["o"] == P("tp", None)      # row parallel
+    assert lp["down"] == P("tp", None)
+    assert lp["ln1"] == P(None)
+    assert specs["wte"] == P("tp", None)  # vocab sharded
+
+
+def test_sharded_forward_matches_single():
+    card = tiny_card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 512)
+    ref = model_forward(card, params, tokens)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    from koifish_tpu.parallel import shard_params
+    sp = shard_params(params, mesh)
+    out = jax.jit(lambda p, t: model_forward(card, p, t))(sp, tokens)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_sharded_train_step_matches_single():
+    """One TP+FSDP sharded train step == single-device step (numerics)."""
+    card = tiny_card()
+    tcard = TrainCard(batch=8, lr=1e-3, warmup=0, optimizer="adamw",
+                      remat=False)
+    step = make_train_step(card, tcard, total_steps=10)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 8, 33), 0, 512)
+    batch = {"tokens": tokens}
+
+    s0 = init_train_state(card, tcard)
+    s_ref, m_ref = step(s0, batch)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    s1 = init_train_state(card, tcard)
+    s1 = shard_train_state(s1, mesh, tp="tp", fsdp="dp")
+    sb = shard_batch(batch, mesh)
+    s_sh, m_sh = step(s1, sb)
+
+    assert abs(float(m_ref["loss"]) - float(m_sh["loss"])) < 1e-3
+    # spot-check a param leaf after update
+    a = np.asarray(s_ref.params["layers"][0]["q"], dtype=np.float32)
+    b = np.asarray(s_sh.params["layers"][0]["q"], dtype=np.float32)
+    np.testing.assert_allclose(a, b, rtol=3e-2, atol=3e-2)
+
+
+def test_graft_entry_single_and_multi():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    # entry(): compile-check on a smaller stand-in is covered by model tests;
+    # here just check it builds abstract shapes quickly via eval_shape
+    fn, args = ge.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out.shape == (1, 128, 151936)
+
+    ge.dryrun_multichip(8)
