@@ -1,0 +1,111 @@
+"""``bubble`` — chat/inference CLI.
+
+Usage: bubble --hf <model_dir> [--prompts "..." ...] [--bits 4]
+              [--kv-bits 8] [--max-new 256] [--config cfg.json]
+
+The analog of the reference's chat binary (src/bubble.cpp:60-72 →
+Fish::Chat, GoPT.cpp:1111): quantize-at-load, ChatML prompt render,
+streaming decode with per-turn tokens/s, answers appended to chat.csv.
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="bubble")
+    ap.add_argument("--hf", required=False, help="HF model dir")
+    ap.add_argument("--config", default=None, help="JSON config")
+    ap.add_argument("--prompts", nargs="*", default=None)
+    ap.add_argument("--bits", type=int, default=0,
+                    help="weight-only quant bits at load (0 = bf16)")
+    ap.add_argument("--kv-bits", type=int, default=0, choices=[0, 4, 8])
+    ap.add_argument("--max-new", type=int, default=256)
+    ap.add_argument("--temperature", type=float, default=0.6)
+    ap.add_argument("--top-k", type=int, default=50)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--device", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--csv", default="chat.csv")
+    ap.add_argument("--think", action="store_true", help="enable thinking mode")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from koifish_tpu.config import CLIParams, QuantCard, SamplerCard
+    from koifish_tpu.data import BPETokenizer, render
+    from koifish_tpu.dtypes import QFormat, qformat_from_bits
+    from koifish_tpu.io import load_hf_model
+    from koifish_tpu.quant.apply import quantize_params
+    from koifish_tpu.serve import generate, init_cache
+
+    p = CLIParams.load(args.config) if args.config else CLIParams.from_json({})
+    hf_dir = args.hf or p.hf_card
+    if not hf_dir:
+        print("bubble: --hf <model_dir> required", file=sys.stderr)
+        return 2
+    prompts = args.prompts if args.prompts is not None else p.prompts
+    if not prompts:
+        prompts = ["hello"]
+
+    print(f"[bubble] loading {hf_dir} ...")
+    t0 = time.time()
+    card, params = load_hf_model(hf_dir)
+    tokenizer = BPETokenizer.from_file(hf_dir)
+    print(f"[bubble] {card.arch} {card.n_layer}L loaded in {time.time()-t0:.1f}s "
+          f"on {jax.default_backend()}")
+
+    if args.bits:
+        qc = QuantCard.from_json({
+            "self_attn": {"bits": args.bits}, "mlp": {"bits": args.bits}})
+        t0 = time.time()
+        params = quantize_params(params, qc, card)
+        print(f"[bubble] quantize-at-load {args.bits}-bit in {time.time()-t0:.1f}s")
+
+    kv_fmt = QFormat.BF16 if not args.kv_bits else qformat_from_bits(args.kv_bits)
+    sampler = SamplerCard(temperature=args.temperature, top_k=args.top_k,
+                          top_p=args.top_p, max_new_tokens=args.max_new)
+    eos = tokenizer.token_id("<|im_end|>") or tokenizer.token_id("<|endoftext|>") or -1
+
+    rows = []
+    for prompt in prompts:
+        text = render([{"role": "user", "content": prompt}], hf_dir, card.arch,
+                      enable_thinking=args.think)
+        ids = tokenizer.encode(text)
+        cache = init_cache(card.n_layer, 1, max(args.ctx, len(ids) + args.max_new),
+                           card.n_kv_head, card.head_dim, fmt=kv_fmt)
+        t0 = time.time()
+        toks, cache = generate(card, params, jnp.asarray([ids], jnp.int32),
+                               cache, sampler, max_new_tokens=args.max_new,
+                               eos_id=eos)
+        dt = time.time() - t0
+        out_ids = [t for t in toks[0].tolist() if t != eos]
+        answer = tokenizer.decode(out_ids)
+        tks = len(out_ids) / dt if dt > 0 else 0.0
+        print(f"\n>>> {prompt}\n{answer}\n[{tks:.2f} tk/s, "
+              f"{len(ids)} prompt + {len(out_ids)} new]")
+        rows.append((prompt, answer, f"{tks:.2f}"))
+
+    if args.csv:
+        new = not os.path.exists(args.csv)
+        with open(args.csv, "a", newline="") as f:
+            w = csv.writer(f)
+            if new:
+                w.writerow(["prompt", "answer", "tokens_per_sec"])
+            w.writerows(rows)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

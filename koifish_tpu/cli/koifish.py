@@ -1,0 +1,109 @@
+"""``koifish`` — training/SFT/QAT CLI.
+
+Usage: koifish <config.json> [--most-iter N] [--hf DIR] [--device cpu|tpu]
+
+The analog of the reference's train binary (src/koifish.cpp:29-60 →
+Fish::Train → Optimizer::Search). One JSON config is the product surface
+(reference README.md:26); reference config files parse directly.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="koifish")
+    ap.add_argument("config", help="JSON config (reference schema)")
+    ap.add_argument("--most-iter", type=int, default=None,
+                    help="cap training iterations (debug.most_iter)")
+    ap.add_argument("--hf", default=None, help="HF model dir (load weights)")
+    ap.add_argument("--device", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--out-dir", default=".", help="loss CSV / checkpoint dir")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from koifish_tpu.config import CLIParams
+    from koifish_tpu.data import TokenDataset
+    from koifish_tpu.evaluate import perplexity
+    from koifish_tpu.io import load_hf_model, save_train_state
+    from koifish_tpu.train.trainer import init_train_state, train_loop
+
+    p = CLIParams.load(args.config)
+    if args.hf:
+        p.hf_card = args.hf
+    if args.most_iter is not None:
+        p.train.most_iter = args.most_iter
+    card, tcard = p.model, p.train
+
+    params = None
+    if p.hf_card:
+        print(f"[koifish] loading HF weights from {p.hf_card}")
+        card, params = load_hf_model(p.hf_card, card)
+    state = init_train_state(card, tcard, params=params)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"[koifish] arch={card.arch} layers={card.n_layer} "
+          f"params={n_params/1e6:.1f}M device={jax.default_backend()}")
+
+    train_ds = p.datasets.get("train")
+    if train_ds is None or not train_ds.glob:
+        print("[koifish] no train dataset in config", file=sys.stderr)
+        return 2
+    ds = TokenDataset(train_ds.glob, most=train_ds.most)
+    steps_per_epoch = max(ds.total // (tcard.batch * card.n_ctx), 1)
+    total_steps = steps_per_epoch * tcard.epochs
+    print(f"[koifish] {ds.total/1e6:.1f}M tokens, {total_steps} steps "
+          f"(B={tcard.batch}, ctx={card.n_ctx}, accum={tcard.grad_accum})")
+
+    eval_cards = [d for k, d in p.datasets.items() if k.startswith("eval")]
+
+    def eval_fn(st, it):
+        for d in eval_cards:
+            if d.kind == "hellaswag":
+                continue  # pangpi handles hellaswag
+            try:
+                eds = TokenDataset(d.glob, most=max(d.most, 1))
+            except FileNotFoundError:
+                continue
+            ce, ppl = perplexity(card, st.params,
+                                 eds.batches(tcard.batch, card.n_ctx),
+                                 max_batches=max(int(8 * d.samp * 10), 2))
+            print(f"[eval {d.name}@{it}] ce={ce:.4f} ppl={ppl:.2f}")
+        return {}
+
+    ckpt_dir = (p.checkpoint_out.path if p.checkpoint_out else args.out_dir)
+    os.makedirs(ckpt_dir or ".", exist_ok=True)
+
+    def save_fn(st, it, tag):
+        path = os.path.join(ckpt_dir, f"koifish_{tag}_{it}.safetensors")
+        save_train_state(path, st, card, extra_meta={"iter": it})
+        print(f"[koifish] saved {tag} checkpoint -> {path}")
+
+    t0 = time.time()
+    state, infos = train_loop(
+        card, tcard, state,
+        ds.batches(tcard.batch, card.n_ctx, seed=p.seed,
+                   epochs=tcard.epochs, accum=tcard.grad_accum),
+        total_steps=total_steps, eval_fn=eval_fn, save_fn=save_fn)
+    csv = os.path.join(args.out_dir, "koifish_loss.csv")
+    infos.save_csv(csv)
+    if infos.rows:
+        print(f"[koifish] done: {len(infos.rows)} iters in {time.time()-t0:.0f}s, "
+              f"final loss {infos.losses[-1]:.4f}, curve -> {csv}")
+    if tcard.save_every or p.checkpoint_out:
+        save_fn(state, len(infos.rows), "final")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -291,6 +291,7 @@ class TrainCard:
         card.batch = int(jt.get("batch", card.batch))
         card.epochs = int(jt.get("epoch", card.epochs))
         card.lr = float(jt.get("learning-rate", card.lr))
+        card.warmup = int(jt.get("warmup", card.warmup))
         card.dump_every = int(jt.get("dump-every", card.dump_every))
         card.save_every = int(jt.get("save-every", card.save_every))
         opt = jt.get("optimizatioin", jt.get("optimization", {}))  # sic — reference key
@@ -299,6 +300,8 @@ class TrainCard:
         sched = jt.get("scheduler", {})
         if isinstance(sched, str):
             card.scheduler = sched
+        elif isinstance(sched, dict) and "type" in sched:
+            card.scheduler = str(sched["type"]).lower()
         if debug:
             card.most_iter = int(debug.get("most_iter", card.most_iter))
         return card

@@ -142,14 +142,24 @@ def _norm(card: ModelCard, x, w, b=None, residual=None):
     return layernorm(x, w, b, eps=card.norm_eps, residual=residual)
 
 
+def _linear_l(x: jax.Array, lp: Params, key: str) -> jax.Array:
+    """Linear through ``lp[key]`` + optional LoRA adapter ``lp[key+"_lora"]``
+    (HIERARCH_LorAB forward rhs=b(a·x), reference Neuron.hpp:60-86)."""
+    y = linear(x, lp[key], lp.get(key + "_b"))
+    lora = lp.get(key + "_lora")
+    if lora is not None:
+        y = y + (x @ lora["a"].astype(x.dtype)) @ lora["b"].astype(x.dtype)
+    return y
+
+
 def qkv_project(card: ModelCard, lp: Params, x: jax.Array,
                 cos, sin, positions) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """x -> rotated q,k and v, shaped [B, T, H, D]."""
     B, T, _ = x.shape
     D = card.head_dim
-    q = linear(x, lp["q"], lp.get("q_b")).reshape(B, T, card.n_head, D)
-    k = linear(x, lp["k"], lp.get("k_b")).reshape(B, T, card.n_kv_head, D)
-    v = linear(x, lp["v"], lp.get("v_b")).reshape(B, T, card.n_kv_head, D)
+    q = _linear_l(x, lp, "q").reshape(B, T, card.n_head, D)
+    k = _linear_l(x, lp, "k").reshape(B, T, card.n_kv_head, D)
+    v = _linear_l(x, lp, "v").reshape(B, T, card.n_kv_head, D)
     if card.qk_norm:  # per-head RMSNorm before RoPE (Qwen3)
         q = rmsnorm(q, lp["qn"], eps=card.norm_eps)
         k = rmsnorm(k, lp["kn"], eps=card.norm_eps)
@@ -161,13 +171,13 @@ def qkv_project(card: ModelCard, lp: Params, x: jax.Array,
 
 def mlp(card: ModelCard, lp: Params, x: jax.Array) -> jax.Array:
     if card.act == "swiglu":
-        g = qmatmul(x, lp["gate"])
-        u = qmatmul(x, lp["up"])
+        g = _linear_l(x, lp, "gate")
+        u = _linear_l(x, lp, "up")
         h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
-        return qmatmul(h, lp["down"])
-    h = linear(x, lp["fc"], lp.get("fc_b"))
+        return _linear_l(h, lp, "down")
+    h = _linear_l(x, lp, "fc")
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
-    return linear(h, lp["proj"], lp.get("proj_b"))
+    return _linear_l(h, lp, "proj")
 
 
 def layer_forward(card: ModelCard, lp: Params, x: jax.Array,
@@ -177,7 +187,7 @@ def layer_forward(card: ModelCard, lp: Params, x: jax.Array,
     q, k, v = qkv_project(card, lp, h, cos, sin, positions)
     a = causal_attention(q, k, v, window=window)
     B, T = x.shape[:2]
-    a = linear(a.reshape(B, T, -1), lp["o"], lp.get("o_b"))
+    a = _linear_l(a.reshape(B, T, -1), lp, "o")
     x = x + a
     h = _norm(card, x, lp["ln2"], lp.get("ln2_b"))
     return x + mlp(card, lp, h)

@@ -15,7 +15,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from koifish_tpu.dtypes import QFormat
-from koifish_tpu.quant.qtensor import QTensor, codebook_for
+from koifish_tpu.quant.qtensor import NF4_VALUES, QTensor
+
+NF4_LIST = list(NF4_VALUES)
 
 
 def _ref_qmatmul(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
@@ -34,12 +36,14 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
     """Dispatch: Pallas fused kernel when eligible, else XLA dequant+dot."""
     m = int(jnp.size(x) // x.shape[-1])
     k, n = w.shape[0], w.shape[-1]
+    # tile constraints: bk=1024 so the scales tile is [bk/group=8, bn]
+    # (sublane-aligned); bn 256 when possible, else 128
     eligible = (
         _platform_is_tpu()
         and w.fmt in (QFormat.INT8, QFormat.INT4, QFormat.NF4)
         and w.zeros is None
-        and k % 256 == 0 and n % 256 == 0
-        and w.group in (128, 256)
+        and k % 1024 == 0 and n % 128 == 0
+        and w.group == 128
         and m >= 8
     )
     if not eligible:
@@ -58,7 +62,8 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("fmt", "group", "k"))
 def _qmm(x, codes, scales, *, fmt: QFormat, group: int, k: int):
     m, n = x.shape[0], codes.shape[-1]
-    bm, bn, bk = 256, 256, 256
+    bm, bk = 256, 1024
+    bn = 256 if n % 256 == 0 else 128
     grid = (m // bm, n // bn, k // bk)
     cpb = fmt.codes_per_byte if fmt.is_sub_byte else 1
 
@@ -96,12 +101,19 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, fmt, group, bk):
     if fmt is QFormat.INT8:
         wf = codes.astype(jnp.float32)
     else:
-        # unpack 2 nibbles per byte along axis 0 (packed axis = K)
-        lo = (codes & 0x0F).astype(jnp.int32)
-        hi = ((codes >> 4) & 0x0F).astype(jnp.int32)
+        # unpack 2 nibbles per byte along axis 0 (packed axis = K);
+        # Mosaic can't shift i8 vectors — widen to i32 first
+        c32 = codes.astype(jnp.int32)
+        lo = c32 & 0x0F
+        hi = (c32 >> 4) & 0x0F
         raw = jnp.stack([lo, hi], axis=1).reshape(bk, -1)
         if fmt is QFormat.NF4:
-            wf = codebook_for(fmt)[raw]
+            # codebook lookup as a select chain — Mosaic kernels can't
+            # capture external constants and vector gathers are slow
+            book = [float(x) for x in NF4_LIST]
+            wf = jnp.full(raw.shape, book[0], jnp.float32)
+            for i in range(1, 16):
+                wf = jnp.where(raw == i, book[i], wf)
         else:  # INT4 biased by 8
             wf = raw.astype(jnp.float32) - 8.0
     # apply per-group scales: [bk/group, bn] -> broadcast over group rows

@@ -23,20 +23,20 @@ from koifish_tpu.quant.packing import unpack_codes
 # NF4 codebook (QLoRA NormalFloat-4): quantiles of N(0,1) normalized to
 # [-1, 1] with an exact zero. Same codebook family as the reference's
 # RT_NormalF (src/Tensor/GeQuant.cpp:732).
-NF4_CODEBOOK = jnp.array(
-    [-1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
-     -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
-     0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
-     0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
-     0.7229568362236023, 1.0],
-    dtype=jnp.float32,
+NF4_VALUES = (
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
 )
+NF4_CODEBOOK = jnp.array(NF4_VALUES, dtype=jnp.float32)
 # NF3: 8-level NormalFloat (quantiles of N(0,1), zero included, normalized).
-NF3_CODEBOOK = jnp.array(
-    [-1.0, -0.5350227355957031, -0.2469314038753510, 0.0,
-     0.1833375245332718, 0.3819939494132996, 0.6229856610298157, 1.0],
-    dtype=jnp.float32,
+NF3_VALUES = (
+    -1.0, -0.5350227355957031, -0.2469314038753510, 0.0,
+    0.1833375245332718, 0.3819939494132996, 0.6229856610298157, 1.0,
 )
+NF3_CODEBOOK = jnp.array(NF3_VALUES, dtype=jnp.float32)
 
 
 def codebook_for(fmt: QFormat) -> jnp.ndarray:

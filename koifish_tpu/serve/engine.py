@@ -20,9 +20,8 @@ import jax.numpy as jnp
 
 from koifish_tpu.config import ModelCard, SamplerCard
 from koifish_tpu.models.transformer import (
-    Params, _norm, gather_embed, lm_head, mlp, qkv_project)
+    Params, _linear_l, _norm, gather_embed, lm_head, mlp, qkv_project)
 from koifish_tpu.ops.attention import causal_attention, decode_attention
-from koifish_tpu.ops.matmul import linear
 from koifish_tpu.ops.rope import rope_freqs
 from koifish_tpu.ops.sampling import sample_logits
 from koifish_tpu.serve import kvcache as kvc
@@ -64,7 +63,7 @@ def prefill(card: ModelCard, params: Params, tokens: jax.Array,
         cache = kvc.write_prefill(cache, li, k, v, start)
         kc, vc, _ = kvc.read_layer(cache, li, extra=T)
         a = causal_attention(q, kc, vc, mask=allowed, causal=False)
-        a = linear(a.reshape(B, T, -1), lp["o"], lp.get("o_b"))
+        a = _linear_l(a.reshape(B, T, -1), lp, "o")
         x = x + a
         h = _norm(card, x, lp["ln2"], lp.get("ln2_b"))
         x = x + mlp(card, lp, h)
@@ -91,7 +90,7 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
         cache = kvc.write_token(cache, li, k[:, 0], v[:, 0])
         kc, vc, valid = kvc.read_layer(cache, li, extra=1)
         a = decode_attention(q[:, 0], kc, vc, valid)
-        a = linear(a.reshape(B, 1, -1), lp["o"], lp.get("o_b"))
+        a = _linear_l(a.reshape(B, 1, -1), lp, "o")
         x = x + a
         h = _norm(card, x, lp["ln2"], lp.get("ln2_b"))
         x = x + mlp(card, lp, h)

@@ -40,24 +40,39 @@ def _tmap(f, *trees):
     return jax.tree_util.tree_map(f, *trees)
 
 
+def _real_grad(g) -> bool:
+    """float0 (non-differentiable leaf) and empty stubs are not gradients."""
+    return g is not None and getattr(g, "dtype", None) != jax.dtypes.float0 \
+        and getattr(g, "size", 1) > 0
+
+
 def global_norm(tree) -> jax.Array:
     leaves = [jnp.sum(jnp.square(x.astype(jnp.float32)))
-              for x in jax.tree_util.tree_leaves(tree)]
+              for x in jax.tree_util.tree_leaves(tree) if _real_grad(x)]
     return jnp.sqrt(sum(leaves))
 
 
 def clip_by_global_norm(grads, max_norm: float) -> Tuple[Any, jax.Array]:
     gnorm = global_norm(grads)
     scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
-    return _tmap(lambda g: (g.astype(jnp.float32) * scale), grads), gnorm
+    return _tmap(lambda g: (g.astype(jnp.float32) * scale)
+                 if _real_grad(g) else g, grads), gnorm
+
+
+def _is_float(p) -> bool:
+    return jnp.issubdtype(p.dtype, jnp.floating)
 
 
 def init_opt_state(params, optimizer: str = "adamw") -> OptState:
-    zeros = _tmap(lambda p: jnp.zeros(p.shape, jnp.float32), params)
-    v = zeros if optimizer in ("adamw", "muon") else None
-    if v is not None:
-        v = _tmap(lambda p: jnp.zeros(p.shape, jnp.float32), params)
-    return OptState(m=zeros, v=v, step=jnp.zeros((), jnp.int32),
+    """Moments for float leaves only (integer leaves — e.g. packed QTensor
+    codes under gama training — are frozen, stored as size-0 stubs)."""
+    def zeros(p):
+        if not _is_float(p):
+            return jnp.zeros((0,), jnp.float32)
+        return jnp.zeros(p.shape, jnp.float32)
+    m = _tmap(zeros, params)
+    v = _tmap(zeros, params) if optimizer in ("adamw", "muon") else None
+    return OptState(m=m, v=v, step=jnp.zeros((), jnp.int32),
                     spikes=jnp.zeros((), jnp.int32))
 
 
@@ -139,6 +154,12 @@ def apply_updates(params, grads, opt: OptState, *, optimizer: str, lr,
 
     new_p, new_m, new_v = [], [], []
     for p, g, m, v in zip(p_leaves, g_leaves, m_leaves, v_leaves):
+        if not _is_float(p) or not _real_grad(g):
+            # frozen leaf (int codes, masked grads): pass through untouched
+            new_p.append(p)
+            new_m.append(m)
+            new_v.append(v)
+            continue
         use_muon = optimizer == "muon" and p.ndim == 2 and p.shape[0] >= 64 \
             and p.shape[1] >= 64
         decay = p.ndim >= 2  # no weight decay on norms/biases

@@ -40,8 +40,12 @@ class TrainState:
 
 
 def compute_loss(card: ModelCard, params, tokens, loss_mask=None,
-                 remat: bool = False):
-    """Next-token CE over [B, T] tokens (targets = tokens shifted)."""
+                 remat: bool = False, qcard=None):
+    """Next-token CE over [B, T] tokens (targets = tokens shifted).
+    ``qcard`` with rules enables fake-quant QAT (STE) in the forward."""
+    if qcard is not None and qcard.rules and qcard.train_target != "gama":
+        from koifish_tpu.quant.qat import apply_qat
+        params = apply_qat(params, qcard, card)
     logits = model_forward(card, params, tokens[:, :-1], remat=remat)
     targets = tokens[:, 1:]
     mask = loss_mask[:, 1:] if loss_mask is not None else None
@@ -49,16 +53,43 @@ def compute_loss(card: ModelCard, params, tokens, loss_mask=None,
     return loss, per_tok
 
 
+def _is_float(p):
+    return jnp.issubdtype(p.dtype, jnp.floating)
+
+
 def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
-                    ) -> Callable:
-    """Builds the jitted (state, batch) -> (state, metrics) step."""
+                    qcard=None, trainable=None) -> Callable:
+    """Builds the jitted (state, batch) -> (state, metrics) step.
+
+    qcard:     QuantCard → fake-quant QAT (or gama training when params
+               already hold QTensors and train_target == "gama")
+    trainable: same-structure tree of bool — frozen leaves get zero grads
+               (SFT methods: lora/bitfit/only_attention/only_head)
+    """
 
     def micro_grads(params, tokens, loss_mask):
-        def loss_fn(p):
-            loss, _ = compute_loss(card, p, tokens, loss_mask,
-                                   remat=tcard.remat)
+        # grad only w.r.t. float leaves — integer leaves (packed QTensor
+        # codes under gama training) are frozen structure
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        flags = [_is_float(l) for l in leaves]
+        diff = [l for l, f in zip(leaves, flags) if f]
+        rest = [l for l, f in zip(leaves, flags) if not f]
+
+        def merge(diff_leaves):
+            it_d, it_r = iter(diff_leaves), iter(rest)
+            full = [next(it_d) if f else next(it_r) for f in flags]
+            return jax.tree_util.tree_unflatten(treedef, full)
+
+        def loss_fn(diff_leaves):
+            loss, _ = compute_loss(card, merge(diff_leaves), tokens,
+                                   loss_mask, remat=tcard.remat, qcard=qcard)
             return loss
-        return jax.value_and_grad(loss_fn)(params)
+
+        loss, g_diff = jax.value_and_grad(loss_fn)(diff)
+        it_g = iter(g_diff)
+        stub = [next(it_g) if f else jnp.zeros((0,), jnp.float32)
+                for f in flags]
+        return loss, jax.tree_util.tree_unflatten(treedef, stub)
 
     @functools.partial(jax.jit, donate_argnames=("state",))
     def step(state: TrainState, batch: Dict[str, jax.Array]):
@@ -66,22 +97,36 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
         loss_mask = batch.get("loss_mask")  # [A, B, T+1] or None
         accum = tokens.shape[0]
 
+        from koifish_tpu.train.optimizer import _real_grad
+
+        def acc_add(a, b):
+            if not _real_grad(b) or a.size == 0:
+                return a
+            return a + b.astype(jnp.float32)
+
         def body(carry, xs):
             acc_g, acc_l = carry
             tok = xs["tokens"]
             msk = xs.get("loss_mask")
             loss, g = micro_grads(state.params, tok, msk)
-            acc_g = jax.tree_util.tree_map(
-                lambda a, b: a + b.astype(jnp.float32), acc_g, g)
+            acc_g = jax.tree_util.tree_map(acc_add, acc_g, g)
             return (acc_g, acc_l + loss), None
 
         zero_g = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            lambda p: jnp.zeros(p.shape if _is_float(p) else (0,),
+                                jnp.float32), state.params)
         xs = {"tokens": tokens}
         if loss_mask is not None:
             xs["loss_mask"] = loss_mask
         (grads, loss_sum), _ = jax.lax.scan(body, (zero_g, 0.0), xs)
-        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+        grads = jax.tree_util.tree_map(
+            lambda g: g / accum if g.size else g, grads)
+        if trainable is not None:
+            # frozen leaves get empty-stub grads → the optimizer passes them
+            # through untouched (zeroed grads would still apply weight decay)
+            grads = jax.tree_util.tree_map(
+                lambda g, t: g if t else jnp.zeros((0,), jnp.float32),
+                grads, trainable)
         loss = loss_sum / accum
 
         lr = lr_at(state.opt.step, kind=tcard.scheduler, base_lr=tcard.lr,

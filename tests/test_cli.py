@@ -1,0 +1,105 @@
+"""CLI end-to-end: koifish trains from a reference-style config, bubble
+chats from an HF dir, pangpi evaluates — mirroring the reference's golden
+e2e pytest strategy (cases/test_lite.py)."""
+import csv
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from koifish_tpu.config import ModelCard
+from koifish_tpu.data import write_shard, MAGIC_QWEN3
+from tests.helpers import make_hf_qwen3_dir
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(mod, *args, cwd=None, timeout=240):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    return subprocess.run(
+        [sys.executable, "-m", f"koifish_tpu.cli.{mod}", *args],
+        capture_output=True, text=True, timeout=timeout,
+        cwd=cwd or REPO, env=env)
+
+
+@pytest.fixture(scope="module")
+def tiny_hf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hf")
+    card = ModelCard.from_arch("QWEN3", vocab_size=300, n_layer=2, n_embd=64,
+                               n_head=4, n_kv_head=2, head_dim=16, n_ffn=128,
+                               n_ctx=64, max_pos=256)
+    make_hf_qwen3_dir(d, card)
+    return str(d), card
+
+
+def test_koifish_train_cli(tmp_path, tiny_hf):
+    hf_dir, card = tiny_hf
+    seq = (np.arange(40000) % 64).astype(np.uint32)
+    write_shard(str(tmp_path / "p_train_0.bin"), seq, MAGIC_QWEN3, 300)
+    cfg = {
+        "model": {"arch": "QWEN3", "vocab_size": 300,
+                  "parameter": {"Layer": 2,
+                                "transformer": {"Ctx": 32, "Embed": 64,
+                                                "Ffn": 128, "Head": 4,
+                                                "KVHead": 2, "head_dim": 16}}},
+        "train": {"batch": 8, "learning-rate": 0.01, "dump-every": 5,
+                  "warmup": 3,
+                  "optimizatioin": {"method": "adamw", "grad_accumulation": 1}},
+        "datasets": {"train": {"glob": str(tmp_path / "p_train_*.bin"),
+                               "name": "pattern"}},
+        "debug": {"most_iter": 25},
+        "seed": 42,
+    }
+    cfgp = str(tmp_path / "cfg.json")
+    with open(cfgp, "w") as f:
+        json.dump(cfg, f)
+    r = run_cli("koifish", cfgp, "--device", "cpu", "--out-dir", str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    csvp = str(tmp_path / "koifish_loss.csv")
+    assert os.path.exists(csvp)
+    with open(csvp) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 25
+    first, last = float(rows[0]["loss"]), float(rows[-1]["loss"])
+    assert last < first * 0.5, f"loss {first} -> {last}"
+
+
+def test_bubble_chat_cli(tmp_path, tiny_hf):
+    hf_dir, card = tiny_hf
+    r = run_cli("bubble", "--hf", hf_dir, "--prompts", "hello",
+                "--max-new", "8", "--bits", "8", "--kv-bits", "8",
+                "--temperature", "0", "--ctx", "128", "--device", "cpu",
+                "--csv", str(tmp_path / "chat.csv"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tk/s" in r.stdout
+    with open(tmp_path / "chat.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert rows and rows[0]["prompt"] == "hello"
+
+
+def test_pangpi_ppl_cli(tmp_path, tiny_hf):
+    hf_dir, card = tiny_hf
+    seq = np.random.default_rng(0).integers(0, 300, 20000).astype(np.uint32)
+    write_shard(str(tmp_path / "val.bin"), seq, MAGIC_QWEN3, 300)
+    r = run_cli("pangpi", "--hf", hf_dir, "--ppl", str(tmp_path / "val.bin"),
+                "--max", "2", "--batch", "4", "--device", "cpu")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ppl=" in r.stdout
+
+
+def test_koifish_missing_dataset_error(tmp_path):
+    cfg = {"model": {"arch": "QWEN3", "vocab_size": 300,
+                     "parameter": {"Layer": 1,
+                                   "transformer": {"Ctx": 32, "Embed": 64,
+                                                   "Ffn": 128, "Head": 4,
+                                                   "KVHead": 2, "head_dim": 16}}},
+           "train": {"batch": 2}}
+    cfgp = str(tmp_path / "c.json")
+    with open(cfgp, "w") as f:
+        json.dump(cfg, f)
+    r = run_cli("koifish", cfgp, "--device", "cpu")
+    assert r.returncode == 2
+    assert "no train dataset" in r.stderr
