@@ -61,6 +61,18 @@ class BPETokenizer:
         else:
             self._special_pat = None
         self._cache: Dict[str, List[int]] = {}
+        self._native = None       # lazily-built C++ merge engine
+        self._native_tried = False
+
+    def _native_engine(self):
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from koifish_tpu.native import NativeBPE
+                self._native = NativeBPE(self)
+            except Exception:
+                self._native = None
+        return self._native
 
     # -- construction -------------------------------------------------------
 
@@ -126,14 +138,19 @@ class BPETokenizer:
             chunks = self._special_pat.split(text)
         else:
             chunks = [text]
+        native = self._native_engine()
         for chunk in chunks:
             if not chunk:
                 continue
             if chunk in self.special:
                 out.append(self.special[chunk])
                 continue
-            for m in self.pat.finditer(chunk):
-                out.extend(self._bpe(m.group()))
+            pretokens = [m.group() for m in self.pat.finditer(chunk)]
+            if native is not None:
+                out.extend(native.encode_pretokens(pretokens))
+            else:
+                for p in pretokens:
+                    out.extend(self._bpe(p))
         return out
 
     def decode(self, ids: Sequence[int]) -> str:

@@ -26,6 +26,11 @@ def load_hf_model(folder: str, card: Optional[ModelCard] = None,
         with open(os.path.join(folder, "config.json")) as f:
             card = ModelCard.from_hf(json.load(f))
     raw = dict(iter_hf_folder(folder))
+    from koifish_tpu.quant.awq import convert_awq_weights, is_awq_checkpoint
+    if is_awq_checkpoint(raw):
+        # vendor AWQ: unpack to native QTensors at load (reference keeps the
+        # vendor layout + a dedicated kernel, quantizer.cu:290; we normalize)
+        raw = convert_awq_weights(raw)
     if card.arch == "GPT2":
         params = _map_gpt2(card, raw, dtype)
     else:
@@ -34,6 +39,9 @@ def load_hf_model(folder: str, card: Optional[ModelCard] = None,
 
 
 def _j(a, dtype, transpose=False):
+    from koifish_tpu.quant.qtensor import QTensor
+    if isinstance(a, QTensor):
+        return a  # AWQ import: already [in, out] packed — no transpose
     arr = np.ascontiguousarray(a.T if transpose else a)
     return jnp.asarray(arr).astype(dtype)
 
@@ -60,10 +68,21 @@ def _map_llama_family(card: ModelCard, raw: Dict[str, np.ndarray], dtype,
             "v": _j(raw[pre + "self_attn.v_proj.weight"], dtype, True),
             "o": _j(raw[pre + "self_attn.o_proj.weight"], dtype, True),
             "ln2": _j(raw[pre + "post_attention_layernorm.weight"], dtype),
-            "gate": _j(raw[pre + "mlp.gate_proj.weight"], dtype, True),
-            "up": _j(raw[pre + "mlp.up_proj.weight"], dtype, True),
-            "down": _j(raw[pre + "mlp.down_proj.weight"], dtype, True),
         }
+        if card.n_experts > 0 and (pre + "mlp.gate.weight") in raw:
+            # Qwen3-MoE: router + stacked experts
+            lp["router"] = _j(raw[pre + "mlp.gate.weight"], dtype, True)
+            def stack(part):
+                return jnp.stack([
+                    _j(raw[f"{pre}mlp.experts.{e}.{part}.weight"], dtype, True)
+                    for e in range(card.n_experts)])
+            lp["egate"] = stack("gate_proj")
+            lp["eup"] = stack("up_proj")
+            lp["edown"] = stack("down_proj")
+        else:
+            lp["gate"] = _j(raw[pre + "mlp.gate_proj.weight"], dtype, True)
+            lp["up"] = _j(raw[pre + "mlp.up_proj.weight"], dtype, True)
+            lp["down"] = _j(raw[pre + "mlp.down_proj.weight"], dtype, True)
         if card.qkv_bias:
             lp["q_b"] = _j(raw[pre + "self_attn.q_proj.bias"], dtype)
             lp["k_b"] = _j(raw[pre + "self_attn.k_proj.bias"], dtype)

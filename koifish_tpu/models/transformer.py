@@ -91,7 +91,10 @@ def init_params(card: ModelCard, key: jax.Array, dtype=jnp.bfloat16) -> Params:
         if card.qk_norm:
             lp["qn"] = jnp.ones((D,), dtype)
             lp["kn"] = jnp.ones((D,), dtype)
-        if card.act == "swiglu":
+        if card.n_experts > 0:
+            from koifish_tpu.models.moe import init_moe_layer
+            lp.update(init_moe_layer(card, ks[4], dtype))
+        elif card.act == "swiglu":
             lp["gate"] = nrm(ks[4], (E, F))
             lp["up"] = nrm(ks[5], (E, F))
             lp["down"] = nrm(ks[6], (F, E), res_std)
@@ -170,6 +173,9 @@ def qkv_project(card: ModelCard, lp: Params, x: jax.Array,
 
 
 def mlp(card: ModelCard, lp: Params, x: jax.Array) -> jax.Array:
+    if "router" in lp:
+        from koifish_tpu.models.moe import moe_ffn
+        return moe_ffn(card, lp, x)
     if card.act == "swiglu":
         g = _linear_l(x, lp, "gate")
         u = _linear_l(x, lp, "up")

@@ -1,0 +1,166 @@
+"""ctypes bindings to the C++ native host layer (native/*.cpp).
+
+Auto-builds ``libkoifish_native.so`` with make on first use when a
+toolchain is present; every entry point has a pure-Python fallback, so
+the framework works without the native library (but the native paths are
+the production ones — the analog of the reference's all-native host code).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SO = os.path.join(_NATIVE_DIR, "libkoifish_native.so")
+_lib = None
+_tried = False
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Returns the native library, building it if needed; None if
+    unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.ktok_new.restype = ctypes.c_void_p
+    lib.ktok_new.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.ktok_free.argtypes = [ctypes.c_void_p]
+    lib.ktok_encode_batch.restype = ctypes.c_int32
+    lib.ktok_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.kts_open.restype = ctypes.c_void_p
+    lib.kts_open.argtypes = [ctypes.c_char_p,
+                             ctypes.POINTER(ctypes.c_int64),
+                             ctypes.POINTER(ctypes.c_int32)]
+    lib.kts_close.argtypes = [ctypes.c_void_p]
+    lib.kts_gather.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+    _lib = lib
+    return _lib
+
+
+# ---------------------------------------------------------------------------
+# BPE engine
+# ---------------------------------------------------------------------------
+
+class NativeBPE:
+    """C++ ranked-merge BPE over pretoken byte strings. Construct from a
+    python BPETokenizer; encode_pretokens() replaces its merge loop."""
+
+    def __init__(self, tokenizer) -> None:
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        u2b = tokenizer._u2b
+        ids = sorted(tokenizer.vocab.items(), key=lambda kv: kv[1])
+        n_vocab = ids[-1][1] + 1
+        strings = [b""] * n_vocab
+        for tok, i in ids:
+            strings[i] = bytes(u2b[ch] for ch in tok)
+        offsets = np.zeros(n_vocab + 1, np.uint32)
+        for i, s in enumerate(strings):
+            offsets[i + 1] = offsets[i] + len(s)
+        vocab_blob = (np.uint32(n_vocab).tobytes() + offsets.tobytes()
+                      + b"".join(strings))
+        merges = []
+        for (a, b), rank in sorted(tokenizer.ranks.items(),
+                                   key=lambda kv: kv[1]):
+            ia, ib = tokenizer.vocab.get(a), tokenizer.vocab.get(b)
+            im = tokenizer.vocab.get(a + b)
+            if ia is None or ib is None or im is None:
+                continue
+            merges.append((ia, ib, im))
+        marr = np.array(merges, np.uint32) if merges else \
+            np.zeros((0, 3), np.uint32)
+        merge_blob = np.uint32(len(merges)).tobytes() + marr.tobytes()
+        self._h = lib.ktok_new(vocab_blob, merge_blob)
+        self._u2b = u2b
+
+    def encode_pretokens(self, pretokens: Sequence[str]) -> List[int]:
+        bufs = [p.encode("utf-8") for p in pretokens]
+        text = b"".join(bufs)
+        offsets = np.zeros(len(bufs) + 1, np.uint32)
+        for i, b in enumerate(bufs):
+            offsets[i + 1] = offsets[i] + len(b)
+        max_out = len(text) + 16  # ids never exceed input bytes
+        out = np.zeros(max_out, np.int32)
+        counts = np.zeros(len(bufs), np.int32)
+        n = self._lib.ktok_encode_batch(
+            self._h, text,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(bufs),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_out,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if n < 0:
+            raise RuntimeError("native encode overflow")
+        return out[:n].tolist()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.ktok_free(self._h)
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Shard reader
+# ---------------------------------------------------------------------------
+
+class NativeShard:
+    """mmap'd token shard with C batch gather."""
+
+    def __init__(self, path: str) -> None:
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        count = ctypes.c_int64()
+        bpt = ctypes.c_int32()
+        self._h = lib.kts_open(path.encode(), ctypes.byref(count),
+                               ctypes.byref(bpt))
+        if not self._h:
+            raise IOError(f"cannot open shard {path}")
+        self.count = count.value
+        self.bpt = bpt.value
+
+    def gather(self, offsets: np.ndarray, width: int) -> np.ndarray:
+        offsets = np.ascontiguousarray(offsets, np.int64)
+        out = np.empty((len(offsets), width), np.int32)
+        self._lib.kts_gather(
+            self._h, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(offsets), width,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.kts_close(self._h)
+        except Exception:
+            pass
+
+
+def native_available() -> bool:
+    return load_native() is not None

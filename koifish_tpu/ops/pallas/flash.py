@@ -1,9 +1,13 @@
-"""Flash attention (training fwd) — Pallas TPU kernel.
+"""Flash attention (fwd + bwd) — Pallas TPU kernels.
 
 Replaces the reference's cuDNN flash-attention graphs (src/Device/CUDA/
-QKV.cu:130-313). Online-softmax blocked attention over K/V tiles with GQA,
-causal masking, optional sliding window. Falls back to None (caller uses
-the XLA path) when shapes don't qualify."""
+QKV.cu:130-313, fwd+bwd cached per shape). Online-softmax blocked
+attention with GQA (via head replication), causal masking; backward is
+the standard two-kernel flash recipe (dKdV sweep + dQ sweep) using the
+forward's logsumexp — memory stays O(T) end to end.
+
+Falls back to None (caller uses the XLA path) when shapes don't qualify.
+"""
 from __future__ import annotations
 
 import functools
@@ -15,9 +19,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+BQ = 256
+BK = 256
+
+
+_INTERPRET = False  # set_interpret(True): run kernels in interpreter mode
+
+
+def set_interpret(on: bool) -> None:
+    """Force kernels eligible + interpreted (CPU testing of kernel logic)."""
+    global _INTERPRET
+    _INTERPRET = on
 
 
 def _platform_is_tpu() -> bool:
+    if _INTERPRET:
+        return True
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
@@ -30,7 +47,7 @@ def _eligible(q, k, window: int) -> bool:
     return (
         _platform_is_tpu()
         and tq == tk                      # self-attention training/prefill
-        and tq % 256 == 0
+        and tq % BQ == 0
         and d in (64, 128, 256)
         and hq % hkv == 0
         and window == 0
@@ -39,84 +56,103 @@ def _eligible(q, k, window: int) -> bool:
 
 def flash_attention_or_none(q, k, v, *, scale: float, window: int = 0
                             ) -> Optional[jax.Array]:
-    """Differentiable causal attention: Pallas forward when eligible, with
-    a recompute-based backward through the XLA reference path (the fused
-    backward kernel is the analog of the reference's cuDNN bwd graph,
-    QKV.cu:216-313 — recompute-bwd costs one extra forward but keeps
-    memory O(T), matching flash semantics)."""
+    """Differentiable causal flash attention (Pallas fwd + bwd kernels)."""
     if not _eligible(q, k, window):
         return None
     return _flash_diff(q, k, v, scale)
 
 
-def _ref_causal(q, k, v, scale):
-    from koifish_tpu.ops import attention as attn
-    return attn.causal_attention(q, k, v, scale=scale, backend="ref")
+# ---------------------------------------------------------------------------
+# layout: [B, T, H, D] -> [B*H, T, D] with KV heads replicated per group
+# ---------------------------------------------------------------------------
+
+def _to_heads(q, k, v):
+    b, t, hq, d = q.shape
+    hkv = k.shape[2]
+    g = hq // hkv
+    qh = q.transpose(0, 2, 1, 3).reshape(b * hq, t, d)
+    kh = jnp.repeat(k.transpose(0, 2, 1, 3), g, axis=1).reshape(b * hq, t, d)
+    vh = jnp.repeat(v.transpose(0, 2, 1, 3), g, axis=1).reshape(b * hq, t, d)
+    return qh, kh, vh
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_diff(q, k, v, scale):
-    return _flash(q, k, v, scale=scale)
+    out, _ = _flash_fwd_call(*_to_heads(q, k, v), scale=scale)
+    b, t, hq, d = q.shape
+    return out.reshape(b, hq, t, d).transpose(0, 2, 1, 3)
 
 
 def _flash_diff_fwd(q, k, v, scale):
-    return _flash(q, k, v, scale=scale), (q, k, v)
+    qh, kh, vh = _to_heads(q, k, v)
+    out, lse = _flash_fwd_call(qh, kh, vh, scale=scale)
+    b, t, hq, d = q.shape
+    o4 = out.reshape(b, hq, t, d).transpose(0, 2, 1, 3)
+    return o4, (qh, kh, vh, out, lse, q.shape, k.shape[2])
 
 
 def _flash_diff_bwd(scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _ref_causal(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    qh, kh, vh, out, lse, qshape, hkv = res
+    b, t, hq, d = qshape
+    gh = g.transpose(0, 2, 1, 3).reshape(b * hq, t, d)
+    dq, dk, dv = _flash_bwd_call(qh, kh, vh, out, lse, gh, scale=scale)
+    dq4 = dq.reshape(b, hq, t, d).transpose(0, 2, 1, 3).astype(jnp.bfloat16)
+    # sum replicated-head grads back into the hkv KV heads
+    gsz = hq // hkv
+    dk4 = dk.reshape(b, hkv, gsz, t, d).sum(2).transpose(0, 2, 1, 3)
+    dv4 = dv.reshape(b, hkv, gsz, t, d).sum(2).transpose(0, 2, 1, 3)
+    return dq4, dk4.astype(jnp.bfloat16), dv4.astype(jnp.bfloat16)
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
 @functools.partial(jax.jit, static_argnames=("scale",))
-def _flash(q, k, v, *, scale: float):
-    b, t, hq, d = q.shape
-    hkv = k.shape[2]
-    g = hq // hkv
-    bq, bk = 256, 256
-    grid = (b * hq, t // bq, t // bk)   # kv tile innermost (sequential)
-
-    # layout: fold batch*head into leading grid dim; kernel sees [bq, d] tiles
-    qh = q.transpose(0, 2, 1, 3).reshape(b * hq, t, d)
-    kh = jnp.repeat(k.transpose(0, 2, 1, 3), g, axis=1).reshape(b * hq, t, d)
-    vh = jnp.repeat(v.transpose(0, 2, 1, 3), g, axis=1).reshape(b * hq, t, d)
-
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, bq=bq, bk=bk),
+def _flash_fwd_call(qh, kh, vh, *, scale: float):
+    bh, t, d = qh.shape
+    grid = (bh, t // BQ, t // BK)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * hq, t, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, BQ, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 128), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t, d), qh.dtype),
+            jax.ShapeDtypeStruct((bh, t, 128), jnp.float32),  # lse (lane-bcast)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((bq, d), jnp.float32),   # o accumulator
-            pltpu.VMEM((bq, 1), jnp.float32),   # running max
-            pltpu.VMEM((bq, 1), jnp.float32),   # running sum
+            pltpu.VMEM((BQ, d), jnp.float32),
+            pltpu.VMEM((BQ, 1), jnp.float32),
+            pltpu.VMEM((BQ, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * hq * t * t * d // 2,
-            bytes_accessed=3 * b * hq * t * d * 2 + b * hq * t * d * 2,
-            transcendentals=b * hq * t * t // 2,
+            flops=2 * bh * t * t * d,
+            bytes_accessed=4 * bh * t * d * 2,
+            transcendentals=bh * t * t // 2,
         ),
     )(qh, kh, vh)
-    return out.reshape(b, hq, t, d).transpose(0, 2, 1, 3)
+    return out, lse[:, :, 0]
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, o_acc, m_acc, l_acc,
-                  *, scale, bq, bk):
-    i = pl.program_id(1)   # q tile
-    j = pl.program_id(2)   # kv tile
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, o_acc, m_acc, l_acc,
+                *, scale):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
@@ -124,16 +160,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, o_acc, m_acc, l_acc,
         m_acc[:] = jnp.full_like(m_acc, _NEG_INF)
         l_acc[:] = jnp.zeros_like(l_acc)
 
-    # skip fully-masked tiles (above causal diagonal)
     @pl.when(j <= i)
     def _():
         qb = q_ref[0].astype(jnp.float32) * scale
         kb = k_ref[0].astype(jnp.float32)
-        s = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32)  # [bq, bk]
-
-        # causal mask via global positions (only bites on the diagonal tile)
-        qpos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32)
+        qpos = i * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+        kpos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
         s = jnp.where(kpos <= qpos, s, _NEG_INF)
 
         m_prev = m_acc[:]
@@ -148,4 +181,142 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, o_acc, m_acc, l_acc,
 
     @pl.when(j == pl.num_programs(2) - 1)
     def _():
-        o_ref[0] = (o_acc[:] / jnp.maximum(l_acc[:], 1e-30)).astype(o_ref.dtype)
+        l = jnp.maximum(l_acc[:], 1e-30)
+        o_ref[0] = (o_acc[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(m_acc[:] + jnp.log(l), (BQ, 128))
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, scale: float):
+    bh, t, d = qh.shape
+    # D_i = rowsum(dO ∘ O) — cheap elementwise, leave to XLA
+    delta = jnp.sum(gh.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)                                     # [bh, t]
+    delta = jnp.broadcast_to(delta[:, :, None], (bh, t, 128))
+    lse_b = jnp.broadcast_to(lse[:, :, None], (bh, t, 128))
+
+    # --- dK/dV sweep: grid over kv tiles, q tiles sequential -------------
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale),
+        grid=(bh, t // BK, t // BQ),
+        in_specs=[
+            pl.BlockSpec((1, BQ, d), lambda h, j, i: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, d), lambda h, j, i: (h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, d), lambda h, j, i: (h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, d), lambda h, j, i: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 128), lambda h, j, i: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 128), lambda h, j, i: (h, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BK, d), lambda h, j, i: (h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, d), lambda h, j, i: (h, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BK, d), jnp.float32),
+            pltpu.VMEM((BK, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(qh, kh, vh, gh, lse_b, delta)
+
+    # --- dQ sweep: grid over q tiles, kv tiles sequential ----------------
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale),
+        grid=(bh, t // BQ, t // BK),
+        in_specs=[
+            pl.BlockSpec((1, BQ, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 128), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 128), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, d), lambda h, i, j: (h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((BQ, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(qh, kh, vh, gh, lse_b, delta)
+    return dq, dk, dv
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale):
+    j = pl.program_id(1)   # kv tile (parallel)
+    i = pl.program_id(2)   # q tile (sequential)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    @pl.when(i >= j)
+    def _():
+        qb = q_ref[0].astype(jnp.float32)
+        kb = k_ref[0].astype(jnp.float32)
+        s = jnp.dot(qb * scale, kb.T, preferred_element_type=jnp.float32)
+        qpos = i * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+        kpos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+        s = jnp.where(kpos <= qpos, s, _NEG_INF)
+        p = jnp.exp(s - lse_ref[0][:, :1])                 # [BQ, BK]
+        gb = g_ref[0].astype(jnp.float32)
+        dv_acc[:] += jnp.dot(p.astype(jnp.bfloat16).T,
+                             gb.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+        dp = jnp.dot(gb.astype(jnp.bfloat16),
+                     v_ref[0].astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32)   # [BQ, BK]
+        ds = p * (dp - delta_ref[0][:, :1]) * scale
+        dk_acc[:] += jnp.dot(ds.astype(jnp.bfloat16).T,
+                             qb.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_acc[:]
+        dv_ref[0] = dv_acc[:]
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                   dq_ref, dq_acc, *, scale):
+    i = pl.program_id(1)   # q tile (parallel)
+    j = pl.program_id(2)   # kv tile (sequential)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    @pl.when(j <= i)
+    def _():
+        qb = q_ref[0].astype(jnp.float32)
+        kb = k_ref[0].astype(jnp.float32)
+        s = jnp.dot(qb * scale, kb.T, preferred_element_type=jnp.float32)
+        qpos = i * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+        kpos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+        s = jnp.where(kpos <= qpos, s, _NEG_INF)
+        p = jnp.exp(s - lse_ref[0][:, :1])
+        gb = g_ref[0].astype(jnp.float32)
+        dp = jnp.dot(gb.astype(jnp.bfloat16),
+                     v_ref[0].astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, :1]) * scale
+        dq_acc[:] += jnp.dot(ds.astype(jnp.bfloat16),
+                             k_ref[0].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = dq_acc[:]

@@ -25,7 +25,18 @@ def _ref_qmatmul(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
     return jnp.dot(x, wd, preferred_element_type=jnp.float32).astype(out_dtype)
 
 
+_INTERPRET = False  # set_interpret(True): run kernels in interpreter mode
+
+
+def set_interpret(on: bool) -> None:
+    """Force kernels eligible + interpreted (CPU testing of kernel logic)."""
+    global _INTERPRET
+    _INTERPRET = on
+
+
 def _platform_is_tpu() -> bool:
+    if _INTERPRET:
+        return True
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
@@ -82,6 +93,7 @@ def _qmm(x, codes, scales, *, fmt: QFormat, group: int, k: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
             bytes_accessed=m * k * 2 + k * n // cpb + m * n * 2,

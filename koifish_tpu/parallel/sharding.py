@@ -55,8 +55,11 @@ def param_specs(params: Dict[str, Any], tp: str = "tp",
     def spec_leaf(name: str, w):
         if isinstance(w, QTensor):
             return _qtensor_specs(name, w, tp, fsdp)
+        if getattr(w, "ndim", 0) == 3 and name in ("egate", "eup", "edown"):
+            # expert parallelism: stacked expert axis over tp (ICI)
+            return P(tp, None, None)
         if getattr(w, "ndim", 0) == 2:
-            if name == "wpe":
+            if name in ("wpe", "router"):
                 return P(None, None)
             return _spec_for_matrix(name, tp, fsdp)
         if getattr(w, "ndim", 0) == 1 and name in _COL_BIAS:

@@ -1,0 +1,74 @@
+"""Pallas kernel logic vs XLA reference, run in interpreter mode on CPU
+(the real-TPU validation runs in the bench/driver; this keeps kernel
+logic under CI the way the reference cross-checks GPU vs CPU quant,
+GeQuant.cpp:888-897)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from koifish_tpu.dtypes import QFormat
+from koifish_tpu.ops.attention import causal_attention
+from koifish_tpu.ops.pallas import flash as pfl
+from koifish_tpu.ops.pallas import matmul as pmm
+from koifish_tpu.quant import quantize
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pfl.set_interpret(True)
+    pmm.set_interpret(True)
+    yield
+    pfl.set_interpret(False)
+    pmm.set_interpret(False)
+
+
+@pytest.mark.parametrize("fmt", [QFormat.INT8, QFormat.INT4, QFormat.NF4])
+def test_qmm_kernel_matches_ref(fmt):
+    key = jax.random.PRNGKey(0)
+    M, K, N = 16, 1024, 256
+    x = jax.random.normal(key, (M, K), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.float32) * 0.02
+    qt = quantize(w, fmt, group=128)
+    ref = pmm._ref_qmatmul(x, qt, jnp.float32)
+    out = pmm.qmatmul_pallas_or_ref(x, qt, jnp.float32)
+    err = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert err < 0.02, err
+
+
+def test_flash_fwd_matches_ref():
+    key = jax.random.PRNGKey(0)
+    B, T, Hq, Hkv, D = 1, 512, 4, 2, 64
+    q = jax.random.normal(key, (B, T, Hq, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, Hkv, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, Hkv, D), jnp.bfloat16)
+    ref = causal_attention(q, k, v, backend="ref")
+    out = pfl.flash_attention_or_none(q, k, v, scale=1.0 / D ** 0.5)
+    assert out is not None
+    err = float(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max())
+    assert err < 0.03, err
+
+
+def test_flash_bwd_matches_ref():
+    key = jax.random.PRNGKey(0)
+    B, T, Hq, Hkv, D = 1, 512, 4, 2, 64
+    q = jax.random.normal(key, (B, T, Hq, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, Hkv, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, Hkv, D), jnp.bfloat16)
+    scale = 1.0 / D ** 0.5
+
+    def loss_flash(q, k, v):
+        o = pfl.flash_attention_or_none(q, k, v, scale=scale)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        o = causal_attention(q, k, v, scale=scale, backend="ref")
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max() + 1e-9
+        assert np.abs(a - b).max() / denom < 0.05, f"d{name}"
