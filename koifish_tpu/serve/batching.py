@@ -1,0 +1,166 @@
+"""Continuous batching — multi-request decode with slot-based KV cache.
+
+New capability vs the reference (its chat loop is single-stream,
+GoPT.cpp:1111); designed for XLA static shapes (SURVEY.md §7 hard-part
+#4):
+
+- a fixed pool of B decode slots shares one [L, B, S, H, D] cache; slots
+  are admitted/freed as requests arrive/finish — the decode step shape
+  never changes, so exactly one compiled executable serves the loop
+- prefill runs per-request on bucketed (next-pow2) prompt lengths to
+  bound recompiles, into a single-lane cache merged into the pool slot
+- per-slot position counters (the cache already tracks pos per lane)
+
+Reports TTFT and decode tokens/s per request (the BASELINE.json serving
+metrics).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from koifish_tpu.config import ModelCard, SamplerCard
+from koifish_tpu.dtypes import QFormat
+from koifish_tpu.ops.sampling import sample_logits
+from koifish_tpu.serve import kvcache as kvc
+from koifish_tpu.serve.engine import _jit_decode_sample, _jit_prefill
+from koifish_tpu.serve.kvcache import KVCache, init_cache
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: List[int]
+    max_new: int = 64
+    eos_id: int = -1
+    # filled by the engine:
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    ttft_s: Optional[float] = None
+    decode_s: float = 0.0
+    done: bool = False
+
+    @property
+    def tokens_per_sec(self) -> float:
+        n = max(len(self.tokens) - 1, 0)
+        return n / self.decode_s if self.decode_s > 0 else 0.0
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def merge_lane(pool: KVCache, lane: KVCache, slot: int) -> KVCache:
+    """Copy a 1-lane cache into pool slot ``slot`` (admission)."""
+    def put(dst, src):
+        return dst.at[:, slot].set(src[:, 0]) if dst is not None else None
+    return dataclasses.replace(
+        pool,
+        k=put(pool.k, lane.k), v=put(pool.v, lane.v),
+        k_scale=put(pool.k_scale, lane.k_scale) if pool.k_scale is not None else None,
+        v_scale=put(pool.v_scale, lane.v_scale) if pool.v_scale is not None else None,
+        pos=pool.pos.at[slot].set(lane.pos[0]))
+
+
+class ContinuousBatcher:
+    """Admit → prefill → batched decode → complete, under one static shape."""
+
+    def __init__(self, card: ModelCard, params, n_slots: int = 8,
+                 cache_size: int = 1024, kv_fmt: QFormat = QFormat.BF16,
+                 sampler: Optional[SamplerCard] = None,
+                 rng: Optional[jax.Array] = None):
+        self.card, self.params = card, params
+        self.n_slots = n_slots
+        self.cache_size = cache_size
+        self.kv_fmt = kv_fmt
+        self.sampler = sampler or SamplerCard()
+        self.rng = rng if rng is not None else jax.random.PRNGKey(self.sampler.seed)
+        self.pool = init_cache(card.n_layer, n_slots, cache_size,
+                               card.n_kv_head, card.head_dim, fmt=kv_fmt)
+        self.slots: List[Optional[Request]] = [None] * n_slots
+        self.waiting: List[Request] = []
+        self.cur_tok = jnp.zeros((n_slots,), jnp.int32)
+        self.results: Dict[int, Request] = {}
+
+    # -- admission ----------------------------------------------------------
+
+    def submit(self, req: Request) -> None:
+        self.waiting.append(req)
+
+    def _admit(self) -> None:
+        for slot in range(self.n_slots):
+            if self.slots[slot] is not None or not self.waiting:
+                continue
+            req = self.waiting.pop(0)
+            t0 = time.perf_counter()
+            # bucket the prompt to the next power of two: right-pad with the
+            # last token, roll ``pos`` back so padded K/V stay masked, and
+            # read logits at the last REAL position. One executable per
+            # bucket, not per prompt length (XLA static shapes).
+            blen = _bucket(len(req.prompt))
+            pad = blen - len(req.prompt)
+            ids = req.prompt + [req.prompt[-1]] * pad
+            lane = init_cache(self.card.n_layer, 1, self.cache_size,
+                              self.card.n_kv_head, self.card.head_dim,
+                              fmt=self.kv_fmt)
+            all_logits, lane = _jit_prefill(
+                self.card, self.params, jnp.asarray([ids], jnp.int32), lane,
+                return_all_logits=True)
+            logits = all_logits[:, len(req.prompt) - 1]
+            lane = dataclasses.replace(lane, pos=lane.pos - pad)
+            self.pool = merge_lane(self.pool, lane, slot)
+            self.rng, sub = jax.random.split(self.rng)
+            tok = sample_logits(sub, logits, self.sampler.temperature,
+                                self.sampler.top_k, self.sampler.top_p,
+                                self.sampler.min_p)
+            req.ttft_s = time.perf_counter() - t0
+            req.tokens.append(int(tok[0]))
+            self.cur_tok = self.cur_tok.at[slot].set(tok[0])
+            self.slots[slot] = req
+            if int(tok[0]) == req.eos_id or req.max_new <= 1:
+                self._finish(slot)
+
+    def _finish(self, slot: int) -> None:
+        req = self.slots[slot]
+        req.done = True
+        self.results[req.rid] = req
+        self.slots[slot] = None
+        # free the lane: zero pos so the mask hides stale KV
+        self.pool = dataclasses.replace(
+            self.pool, pos=self.pool.pos.at[slot].set(0))
+
+    # -- main loop ----------------------------------------------------------
+
+    def step(self) -> bool:
+        """One engine step (admissions + one batched decode). Returns True
+        while work remains."""
+        self._admit()
+        active = [s for s, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return bool(self.waiting)
+        t0 = time.perf_counter()
+        tok, self.pool, self.rng = _jit_decode_sample(
+            self.card, self.params, self.cur_tok, self.pool, self.rng,
+            self.sampler)
+        dt = time.perf_counter() - t0
+        self.cur_tok = tok
+        toks = tok.tolist()
+        for slot in active:
+            req = self.slots[slot]
+            req.decode_s += dt
+            req.tokens.append(int(toks[slot]))
+            if int(toks[slot]) == req.eos_id or \
+                    len(req.tokens) >= req.max_new:
+                self._finish(slot)
+        return True
+
+    def run(self) -> Dict[int, Request]:
+        while self.step():
+            pass
+        return self.results

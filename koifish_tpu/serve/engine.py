@@ -36,10 +36,13 @@ def _rope_tables(card: ModelCard):
 
 
 def prefill(card: ModelCard, params: Params, tokens: jax.Array,
-            cache: KVCache) -> Tuple[jax.Array, KVCache]:
+            cache: KVCache, return_all_logits: bool = False,
+            ) -> Tuple[jax.Array, KVCache]:
     """Run a [B, T] prompt chunk, filling the cache. Returns last-position
-    logits [B, V]. Requires pos + T <= cache.size (no ring wrap mid-prefill;
-    the ring only rolls during decode)."""
+    logits [B, V] (or [B, T, V] with ``return_all_logits`` — used by
+    bucketed-prefill continuous batching to read the last *real* position
+    of a right-padded prompt). Requires pos + T <= cache.size (no ring
+    wrap mid-prefill; the ring only rolls during decode)."""
     B, T = tokens.shape
     start = cache.pos[0]                       # uniform-start batch
     positions = start + jnp.arange(T, dtype=jnp.int32)
@@ -69,7 +72,10 @@ def prefill(card: ModelCard, params: Params, tokens: jax.Array,
         x = x + mlp(card, lp, h)
 
     x = _norm(card, x, params["ln_f"], params.get("ln_f_b"))
-    logits = lm_head(card, params, x[:, -1:])[:, 0]
+    if return_all_logits:
+        logits = lm_head(card, params, x)
+    else:
+        logits = lm_head(card, params, x[:, -1:])[:, 0]
     return logits, kvc.advance(cache, T)
 
 
@@ -100,7 +106,7 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
     return logits, kvc.advance(cache, 1)
 
 
-_jit_prefill = jax.jit(prefill, static_argnames=("card",))
+_jit_prefill = jax.jit(prefill, static_argnames=("card", "return_all_logits"))
 
 
 @functools.partial(jax.jit, static_argnames=("card", "sampler"),
