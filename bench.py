@@ -35,13 +35,69 @@ def qwen3_0_6b() -> ModelCard:
         n_kv_head=8, head_dim=128, n_ffn=3072, n_ctx=1024, max_pos=32768)
 
 
+def bench_decode(args):
+    """Decode throughput: Qwen3-0.6B INT4 weights + INT8 KV, batched decode.
+    tokens/sec/chip + p50 TTFT (BASELINE.json serving metrics)."""
+    import jax.numpy as jnp
+    from koifish_tpu.config import QuantCard, SamplerCard
+    from koifish_tpu.dtypes import QFormat
+    from koifish_tpu.models import init_params
+    from koifish_tpu.quant.apply import quantize_params
+    from koifish_tpu.serve import init_cache
+    from koifish_tpu.serve.engine import _jit_decode_sample, _jit_prefill
+    from koifish_tpu.ops.sampling import sample_logits
+
+    card = qwen3_0_6b()
+    params = init_params(card, jax.random.PRNGKey(0))
+    qc = QuantCard.from_json({"self_attn": {"bits": 4}, "mlp": {"bits": 4},
+                              "group_size": 128})
+    params = quantize_params(params, qc, card)
+    B, S, P = args.batch, 1024, 128
+    sampler = SamplerCard(temperature=0.6)
+    cache = init_cache(card.n_layer, B, S, card.n_kv_head, card.head_dim,
+                       fmt=QFormat.INT8)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (B, P), 0,
+                                card.vocab_size, dtype=jnp.int32)
+    rng = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    logits, cache = _jit_prefill(card, params, prompt, cache)
+    tok = sample_logits(rng, logits, sampler.temperature, sampler.top_k,
+                        sampler.top_p)
+    int(tok[0])  # sync
+    ttft_cold = time.perf_counter() - t0
+
+    # warm decode
+    tok, cache, rng = _jit_decode_sample(card, params, tok, cache, rng, sampler)
+    int(tok[0])
+    N = args.steps
+    t0 = time.perf_counter()
+    for _ in range(N):
+        tok, cache, rng = _jit_decode_sample(card, params, tok, cache, rng,
+                                             sampler)
+    int(tok[0])  # true sync (host fetch)
+    dt = (time.perf_counter() - t0) / N
+    tps = B / dt
+    print(json.dumps({
+        "metric": f"qwen3-0.6b INT4+INT8KV decode (B={B}, S={S})",
+        "value": round(tps, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(tps / 20_000.0, 3),  # ref train tok/s as anchor
+        "ttft_cold_s": round(ttft_cold, 2),
+        "step_ms": round(dt * 1e3, 2),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="train", choices=["train", "decode"])
     ap.add_argument("--model", default="gpt2-124m")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=1024)
     args = ap.parse_args()
+    if args.mode == "decode":
+        return bench_decode(args)
 
     card = gpt2_124m() if args.model == "gpt2-124m" else qwen3_0_6b()
     tcard = TrainCard(batch=args.batch, lr=6e-4, warmup=10, optimizer="adamw",

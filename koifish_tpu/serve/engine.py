@@ -90,12 +90,24 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
     if card.pos_embed == "learned":
         x = x + jnp.take(params["wpe"], positions[:, 0], axis=0)[:, None]
 
+    from koifish_tpu.dtypes import QFormat
+    from koifish_tpu.ops.pallas.decode_attn import decode_attention_int8_or_none
+    att_scale = 1.0 / (card.head_dim ** 0.5)
     for li, lp in enumerate(params["layers"]):
         h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
         q, k, v = qkv_project(card, lp, h, cos, sin, positions)
         cache = kvc.write_token(cache, li, k[:, 0], v[:, 0])
-        kc, vc, valid = kvc.read_layer(cache, li, extra=1)
-        a = decode_attention(q[:, 0], kc, vc, valid)
+        a = None
+        if cache.fmt is QFormat.INT8:
+            # fused kernel reads INT8 codes directly (half the HBM traffic
+            # of dequant-then-attend)
+            lengths = jnp.minimum(cache.pos + 1, cache.size)
+            a = decode_attention_int8_or_none(
+                q[:, 0], cache.k[li], cache.v[li], cache.k_scale[li],
+                cache.v_scale[li], lengths, att_scale)
+        if a is None:
+            kc, vc, valid = kvc.read_layer(cache, li, extra=1)
+            a = decode_attention(q[:, 0], kc, vc, valid)
         a = _linear_l(a.reshape(B, 1, -1), lp, "o")
         x = x + a
         h = _norm(card, x, lp["ln2"], lp.get("ln2_b"))

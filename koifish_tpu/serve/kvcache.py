@@ -27,9 +27,9 @@ class KVCache:
     """Per-model cache: leading axis = layer. ``pos`` is the global position
     counter per sequence (monotonic, may exceed ``size``)."""
 
-    k: jax.Array                      # [L,B,S,H,D] bf16 — or int8 codes
-    v: jax.Array                      # [L,B,S,H,D]
-    k_scale: Optional[jax.Array]      # [L,B,S,H] f32 (quantized KV only)
+    k: jax.Array                      # [L,B,H,S,D] bf16 — or int8 codes
+    v: jax.Array                      # [L,B,H,S,D]
+    k_scale: Optional[jax.Array]      # [L,B,H,S] f32 (quantized KV only)
     v_scale: Optional[jax.Array]
     pos: jax.Array                    # [B] int32
     fmt: QFormat = dataclasses.field(default=QFormat.BF16,
@@ -38,7 +38,7 @@ class KVCache:
 
     @property
     def size(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def n_layers(self) -> int:
@@ -48,7 +48,9 @@ class KVCache:
 def init_cache(n_layers: int, batch: int, size: int, n_kv_head: int,
                head_dim: int, fmt: QFormat = QFormat.BF16, sinks: int = 2,
                ) -> KVCache:
-    shape = (n_layers, batch, size, n_kv_head, head_dim)
+    # head-major layout [L, B, H, S, D]: decode kernels block (S, D) tiles
+    # per head with no transposes (TPU min-tile rules)
+    shape = (n_layers, batch, n_kv_head, size, head_dim)
     if fmt is QFormat.BF16:
         k = jnp.zeros(shape, jnp.bfloat16)
         v = jnp.zeros(shape, jnp.bfloat16)
@@ -96,8 +98,10 @@ def write_token(cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
     slots = ring_slot(cache.pos, cache.size, cache.sinks)      # [B]
     bidx = jnp.arange(B)
 
-    def upd(buf, val):  # buf [L,B,S,...] <- val [B,...] at per-seq slots
-        return buf.at[layer].set(buf[layer].at[bidx, slots].set(val))
+    def upd(buf, val):
+        # buf[layer] is [B, H, S, ...]; index [bidx, :, slots] puts the two
+        # advanced axes up front -> [B, H, ...], matching val [B, H, ...]
+        return buf.at[layer].set(buf[layer].at[bidx, :, slots].set(val))
 
     if cache.fmt is QFormat.BF16:
         k = upd(cache.k, k_new.astype(cache.k.dtype))
@@ -123,8 +127,10 @@ def write_prefill(cache: KVCache, layer: int, k_new: jax.Array,
     pos = start + jnp.arange(T)                                 # [T]
     slots = ring_slot(pos, cache.size, cache.sinks)             # [T]
 
-    def upd(buf, val):  # buf [L,B,S,...] <- val [B,T,...] at shared slots
-        return buf.at[layer].set(buf[layer].at[:, slots].set(val))
+    def upd(buf, val):
+        # val arrives [B, T, H, ...] -> head-major [B, H, T, ...]
+        val = jnp.moveaxis(val, 1, 2)
+        return buf.at[layer].set(buf[layer].at[:, :, slots].set(val))
 
     if cache.fmt is QFormat.BF16:
         k = upd(cache.k, k_new.astype(cache.k.dtype))
@@ -147,12 +153,12 @@ def read_layer(cache: KVCache, layer: int, extra: int = 0,
     ``pos`` (writes don't advance it).
 
     Quantized caches are dequantized here; the fused Pallas decode-attention
-    kernel (ops/pallas) reads codes directly instead.
+    kernel (ops/pallas/decode_attn.py) reads codes directly instead.
     """
     valid = jnp.arange(cache.size)[None, :] < jnp.minimum(
         cache.pos + extra, cache.size)[:, None]
-    k, v = cache.k[layer], cache.v[layer]
+    k, v = cache.k[layer], cache.v[layer]          # [B, H, S, D]
     if cache.fmt is not QFormat.BF16:
         k = (k.astype(jnp.float32) * cache.k_scale[layer][..., None]).astype(jnp.bfloat16)
         v = (v.astype(jnp.float32) * cache.v_scale[layer][..., None]).astype(jnp.bfloat16)
-    return k, v, valid
+    return jnp.moveaxis(k, 1, 2), jnp.moveaxis(v, 1, 2), valid

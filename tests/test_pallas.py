@@ -72,3 +72,37 @@ def test_flash_bwd_matches_ref():
         b = np.asarray(b, np.float32)
         denom = np.abs(b).max() + 1e-9
         assert np.abs(a - b).max() / denom < 0.05, f"d{name}"
+
+
+def test_decode_attention_int8_kernel():
+    """Fused INT8-KV decode attention vs the dequant-then-attend oracle."""
+    from koifish_tpu.ops.pallas import decode_attn as pda
+    from koifish_tpu.ops.attention import decode_attention
+    pda.set_interpret(True)
+    try:
+        key = jax.random.PRNGKey(0)
+        B, Hq, Hkv, S, D = 2, 4, 2, 512, 64
+        q = jax.random.normal(key, (B, Hq, D), jnp.bfloat16)
+        kf = jax.random.normal(jax.random.PRNGKey(1), (B, Hkv, S, D))
+        vf = jax.random.normal(jax.random.PRNGKey(2), (B, Hkv, S, D))
+        # int8 per-(head,pos) quantization
+        ks = jnp.abs(kf).max(-1) / 127.0
+        vs = jnp.abs(vf).max(-1) / 127.0
+        kc = jnp.clip(jnp.round(kf / ks[..., None]), -128, 127).astype(jnp.int8)
+        vc = jnp.clip(jnp.round(vf / vs[..., None]), -128, 127).astype(jnp.int8)
+        lengths = jnp.array([S, 100], jnp.int32)
+
+        out = pda.decode_attention_int8_or_none(q, kc, vc, ks, vs, lengths,
+                                                1.0 / D ** 0.5)
+        assert out is not None
+
+        kd = (kc.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
+        vd = (vc.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+        valid = jnp.arange(S)[None, :] < lengths[:, None]
+        ref = decode_attention(q, jnp.moveaxis(kd, 1, 2),
+                               jnp.moveaxis(vd, 1, 2), valid)
+        err = float(jnp.abs(out.astype(jnp.float32)
+                            - ref.astype(jnp.float32)).max())
+        assert err < 0.03, err
+    finally:
+        pda.set_interpret(False)
