@@ -50,6 +50,17 @@ def main(argv=None) -> int:
     if p.hf_card:
         print(f"[koifish] loading HF weights from {p.hf_card}")
         card, params = load_hf_model(p.hf_card, card)
+
+    # SFT method wiring (LoRA adapters / trainable masks; SFT_CARD analog)
+    trainable = None
+    if p.sft is not None and params is not None:
+        from koifish_tpu.train.lora import add_lora, trainable_mask
+        if p.sft.method == "lora":
+            params = add_lora(params, p.sft, jax.random.PRNGKey(p.seed))
+        if p.sft.method != "full":
+            trainable = trainable_mask(params, p.sft.method)
+        print(f"[koifish] SFT method={p.sft.method}")
+
     state = init_train_state(card, tcard, params=params)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"[koifish] arch={card.arch} layers={card.n_layer} "
@@ -59,11 +70,24 @@ def main(argv=None) -> int:
     if train_ds is None or not train_ds.glob:
         print("[koifish] no train dataset in config", file=sys.stderr)
         return 2
-    ds = TokenDataset(train_ds.glob, most=train_ds.most)
-    steps_per_epoch = max(ds.total // (tcard.batch * card.n_ctx), 1)
-    total_steps = steps_per_epoch * tcard.epochs
-    print(f"[koifish] {ds.total/1e6:.1f}M tokens, {total_steps} steps "
-          f"(B={tcard.batch}, ctx={card.n_ctx}, accum={tcard.grad_accum})")
+    if train_ds.kind in ("OAI_message", "jsonl", "ChatML") and \
+            train_ds.glob.endswith(".jsonl"):
+        from koifish_tpu.data import BPETokenizer
+        from koifish_tpu.data.sft import SFTDataset
+        tok = BPETokenizer.from_file(p.hf_card)
+        sds = SFTDataset.from_jsonl(train_ds.glob, tok, card.n_ctx)
+        total_steps = max(len(sds) // tcard.batch, 1) * tcard.epochs
+        batches = sds.batches(tcard.batch, seed=p.seed, epochs=tcard.epochs,
+                              accum=tcard.grad_accum)
+        print(f"[koifish] SFT: {len(sds)} conversations, {total_steps} steps")
+    else:
+        ds = TokenDataset(train_ds.glob, most=train_ds.most)
+        steps_per_epoch = max(ds.total // (tcard.batch * card.n_ctx), 1)
+        total_steps = steps_per_epoch * tcard.epochs
+        batches = ds.batches(tcard.batch, card.n_ctx, seed=p.seed,
+                             epochs=tcard.epochs, accum=tcard.grad_accum)
+        print(f"[koifish] {ds.total/1e6:.1f}M tokens, {total_steps} steps "
+              f"(B={tcard.batch}, ctx={card.n_ctx}, accum={tcard.grad_accum})")
 
     eval_cards = [d for k, d in p.datasets.items() if k.startswith("eval")]
 
@@ -89,12 +113,20 @@ def main(argv=None) -> int:
         save_train_state(path, st, card, extra_meta={"iter": it})
         print(f"[koifish] saved {tag} checkpoint -> {path}")
 
+    qcard = p.quant if p.quant.rules else None
+    if qcard is not None:
+        mode = "gama" if qcard.train_target == "gama" else "fake-quant (STE)"
+        print(f"[koifish] QAT enabled: {mode}, {len(qcard.rules)} rules")
+        if qcard.train_target == "gama":
+            from koifish_tpu.quant.apply import quantize_params
+            state = init_train_state(
+                card, tcard, params=quantize_params(state.params, qcard, card))
+
     t0 = time.time()
     state, infos = train_loop(
-        card, tcard, state,
-        ds.batches(tcard.batch, card.n_ctx, seed=p.seed,
-                   epochs=tcard.epochs, accum=tcard.grad_accum),
-        total_steps=total_steps, eval_fn=eval_fn, save_fn=save_fn)
+        card, tcard, state, batches,
+        total_steps=total_steps, eval_fn=eval_fn, save_fn=save_fn,
+        qcard=qcard, trainable=trainable)
     csv = os.path.join(args.out_dir, "koifish_loss.csv")
     infos.save_csv(csv)
     if infos.rows:

@@ -199,15 +199,17 @@ def layer_forward(card: ModelCard, lp: Params, x: jax.Array,
     return x + mlp(card, lp, h)
 
 
-def lm_head(card: ModelCard, params: Params, x: jax.Array) -> jax.Array:
-    """Hidden states -> logits (tied or untied head)."""
+def lm_head(card: ModelCard, params: Params, x: jax.Array,
+            out_dtype=jnp.float32) -> jax.Array:
+    """Hidden states -> logits (tied or untied head). Training uses bf16
+    logits (halves the [B,T,V] HBM traffic; CE math still upcasts)."""
     if not card.tie_embeddings:
-        return qmatmul(x, params["head"], out_dtype=jnp.float32)
+        return qmatmul(x, params["head"], out_dtype=out_dtype)
     wte = params["wte"]
     if isinstance(wte, QTensor):            # head layout [E, V]
-        return qmatmul(x, wte, out_dtype=jnp.float32)
+        return qmatmul(x, wte, out_dtype=out_dtype)
     return jnp.dot(x, wte.T.astype(x.dtype),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32).astype(out_dtype)
 
 
 def model_forward(
@@ -218,6 +220,7 @@ def model_forward(
     window: int = 0,
     return_hidden: bool = False,
     remat: bool = False,
+    logits_dtype=jnp.float32,
 ) -> jax.Array:
     """Full-sequence forward: tokens -> logits [B, T, V] (f32).
 
@@ -252,4 +255,4 @@ def model_forward(
     x = _norm(card, x, params["ln_f"], params.get("ln_f_b"))
     if return_hidden:
         return x
-    return lm_head(card, params, x)
+    return lm_head(card, params, x, out_dtype=logits_dtype)

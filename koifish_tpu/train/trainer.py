@@ -46,7 +46,8 @@ def compute_loss(card: ModelCard, params, tokens, loss_mask=None,
     if qcard is not None and qcard.rules and qcard.train_target != "gama":
         from koifish_tpu.quant.qat import apply_qat
         params = apply_qat(params, qcard, card)
-    logits = model_forward(card, params, tokens[:, :-1], remat=remat)
+    logits = model_forward(card, params, tokens[:, :-1], remat=remat,
+                           logits_dtype=jnp.bfloat16)
     targets = tokens[:, 1:]
     mask = loss_mask[:, 1:] if loss_mask is not None else None
     loss, per_tok = cross_entropy_loss(logits, targets, mask)
@@ -112,13 +113,20 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
             acc_g = jax.tree_util.tree_map(acc_add, acc_g, g)
             return (acc_g, acc_l + loss), None
 
-        zero_g = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape if _is_float(p) else (0,),
-                                jnp.float32), state.params)
-        xs = {"tokens": tokens}
-        if loss_mask is not None:
-            xs["loss_mask"] = loss_mask
-        (grads, loss_sum), _ = jax.lax.scan(body, (zero_g, 0.0), xs)
+        if accum == 1:
+            # no accumulation: skip the scan wrapper (a length-1 scan is a
+            # fusion/donation barrier for XLA)
+            loss_sum, grads = micro_grads(
+                state.params, tokens[0],
+                loss_mask[0] if loss_mask is not None else None)
+        else:
+            zero_g = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape if _is_float(p) else (0,),
+                                    jnp.float32), state.params)
+            xs = {"tokens": tokens}
+            if loss_mask is not None:
+                xs["loss_mask"] = loss_mask
+            (grads, loss_sum), _ = jax.lax.scan(body, (zero_g, 0.0), xs)
         grads = jax.tree_util.tree_map(
             lambda g: g / accum if g.size else g, grads)
         if trainable is not None:
@@ -176,11 +184,14 @@ def train_loop(
     log_fn: Optional[Callable[[str], None]] = print,
     eval_fn: Optional[Callable[[TrainState, int], Dict[str, float]]] = None,
     save_fn: Optional[Callable[[TrainState, int, str], None]] = None,
+    qcard=None,
+    trainable=None,
 ) -> Tuple[TrainState, StepInfo]:
     """Host loop around the jitted step — ``Optimizer::Search`` analog with
     the reference's instability handling (emergency checkpoint then abort,
     Optimizer.cpp:176-179)."""
-    step = make_train_step(card, tcard, total_steps)
+    step = make_train_step(card, tcard, total_steps, qcard=qcard,
+                           trainable=trainable)
     infos = StepInfo()
     tokens_per_batch = None
     for it, batch in enumerate(batches):

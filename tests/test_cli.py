@@ -103,3 +103,62 @@ def test_koifish_missing_dataset_error(tmp_path):
     r = run_cli("koifish", cfgp, "--device", "cpu")
     assert r.returncode == 2
     assert "no train dataset" in r.stderr
+
+
+def test_koifish_sft_jsonl_cli(tmp_path, tiny_hf):
+    """SFT from an OAI-message JSONL with LoRA — qwen3_sft.json-style flow."""
+    hf_dir, card = tiny_hf
+    convs = []
+    for i in range(64):
+        convs.append({"messages": [
+            {"role": "user", "content": f"hello {i}"},
+            {"role": "assistant", "content": "hello hello hello"}]})
+    jp = str(tmp_path / "chat.jsonl")
+    with open(jp, "w") as f:
+        for c in convs:
+            f.write(json.dumps(c) + "\n")
+    cfg = {
+        "sft": {"hf-card": hf_dir, "method": "lora"},
+        "model": {"arch": "QWEN3"},
+        "train": {"batch": 4, "learning-rate": 0.01, "warmup": 2,
+                  "dump-every": 5, "epoch": 2},
+        "datasets": {"train": {"glob": jp, "type": "OAI_message"}},
+        "debug": {"most_iter": 10},
+        "seed": 42,
+    }
+    cfgp = str(tmp_path / "sft.json")
+    with open(cfgp, "w") as f:
+        json.dump(cfg, f)
+    r = run_cli("koifish", cfgp, "--device", "cpu", "--out-dir", str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SFT method=lora" in r.stdout
+    with open(tmp_path / "koifish_loss.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 10
+    assert float(rows[-1]["loss"]) < float(rows[0]["loss"])
+
+
+def test_koifish_qat_gama_cli(tmp_path):
+    """Gama (scale-only) QAT from config quantizer card."""
+    seq = (np.arange(30000) % 64).astype(np.uint32)
+    write_shard(str(tmp_path / "q_train.bin"), seq, MAGIC_QWEN3, 300)
+    cfg = {
+        "quantizer": {"self_attn": {"bits": 4}, "mlp": {"bits": 4},
+                      "group_size": 32, "train_target": "gama"},
+        "model": {"arch": "QWEN3", "vocab_size": 300,
+                  "parameter": {"Layer": 2,
+                                "transformer": {"Ctx": 32, "Embed": 64,
+                                                "Ffn": 128, "Head": 4,
+                                                "KVHead": 2, "head_dim": 16}}},
+        "train": {"batch": 8, "learning-rate": 0.003, "warmup": 2,
+                  "dump-every": 5},
+        "datasets": {"train": {"glob": str(tmp_path / "q_train.bin")}},
+        "debug": {"most_iter": 12},
+        "seed": 42,
+    }
+    cfgp = str(tmp_path / "qat.json")
+    with open(cfgp, "w") as f:
+        json.dump(cfg, f)
+    r = run_cli("koifish", cfgp, "--device", "cpu", "--out-dir", str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "gama" in r.stdout

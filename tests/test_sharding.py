@@ -87,3 +87,21 @@ def test_graft_entry_single_and_multi():
     assert out.shape == (1, 128, 151936)
 
     ge.dryrun_multichip(8)
+
+
+def test_ring_attention_matches_full():
+    """Sequence-parallel ring attention over 8 devices == full attention."""
+    import jax.numpy as jnp
+    from koifish_tpu.ops.attention import causal_attention
+    from koifish_tpu.parallel.ring_attention import ring_attention_sharded
+
+    mesh = make_mesh({"sp": 8})
+    B, T, Hq, Hkv, D = 2, 64, 4, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, Hq, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, Hkv, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, Hkv, D), jnp.float32)
+    ref = causal_attention(q, k, v, backend="ref")
+    fn = jax.jit(ring_attention_sharded(mesh, "sp"))
+    out = fn(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
