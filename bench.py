@@ -100,8 +100,10 @@ def main():
         return bench_decode(args)
 
     card = gpt2_124m() if args.model == "gpt2-124m" else qwen3_0_6b()
+    # 124M fits without remat on one v5e chip — measured fastest config
+    remat = args.model != "gpt2-124m"
     tcard = TrainCard(batch=args.batch, lr=6e-4, warmup=10, optimizer="adamw",
-                      remat=True)
+                      remat=remat)
     step = make_train_step(card, tcard, total_steps=1000)
     state = init_train_state(card, tcard)
 
@@ -127,7 +129,7 @@ def main():
     toks_per_sec = args.batch * args.ctx / dt
     print(json.dumps({
         "metric": f"{args.model} pretrain throughput (1 chip, B={args.batch}, "
-                  f"ctx={args.ctx}, bf16, remat)",
+                  f"ctx={args.ctx}, bf16{', remat' if remat else ''})",
         "value": round(toks_per_sec, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(toks_per_sec / BASELINE_TOKS, 3),

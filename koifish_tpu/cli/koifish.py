@@ -22,6 +22,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--hf", default=None, help="HF model dir (load weights)")
     ap.add_argument("--device", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--out-dir", default=".", help="loss CSV / checkpoint dir")
+    ap.add_argument("--dp", type=int, default=1, help="data-parallel ways")
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="shard params+moments over dp (ZeRO-3 analog)")
     return ap
 
 
@@ -112,6 +116,17 @@ def main(argv=None) -> int:
         path = os.path.join(ckpt_dir, f"koifish_{tag}_{it}.safetensors")
         save_train_state(path, st, card, extra_meta={"iter": it})
         print(f"[koifish] saved {tag} checkpoint -> {path}")
+
+    # multi-chip: shard state TP(+FSDP), batches DP (new capability vs the
+    # single-GPU reference — SURVEY.md §2.7)
+    if args.dp * args.tp > 1:
+        from koifish_tpu.parallel.mesh import make_mesh
+        from koifish_tpu.train.sharded import shard_batch, shard_train_state
+        mesh = make_mesh({"dp": args.dp, "tp": args.tp})
+        state = shard_train_state(state, mesh, tp="tp",
+                                  fsdp="dp" if args.fsdp else None)
+        batches = (shard_batch(b, mesh) for b in batches)
+        print(f"[koifish] mesh dp={args.dp} tp={args.tp} fsdp={args.fsdp}")
 
     qcard = p.quant if p.quant.rules else None
     if qcard is not None:

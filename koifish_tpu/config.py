@@ -110,6 +110,13 @@ class ModelCard:
     n_experts: int = 0
     n_experts_active: int = 0
     moe_ffn: int = 0
+    # MLA (DeepSeek family; attn="mla")
+    attn: str = "std"
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
     dtype: str = "bfloat16"
 
     @property
@@ -195,6 +202,15 @@ class ModelCard:
             card.n_experts = int(hf_cfg["num_experts"])
             card.n_experts_active = int(hf_cfg.get("num_experts_per_tok", 8))
             card.moe_ffn = int(hf_cfg.get("moe_intermediate_size", card.n_ffn))
+        if "kv_lora_rank" in hf_cfg:       # DeepSeek MLA
+            card.attn = "mla"
+            card.q_lora_rank = int(hf_cfg.get("q_lora_rank") or 0)
+            card.kv_lora_rank = int(hf_cfg["kv_lora_rank"])
+            card.qk_nope_head_dim = int(hf_cfg.get("qk_nope_head_dim", 128))
+            card.qk_rope_head_dim = int(hf_cfg.get("qk_rope_head_dim", 64))
+            card.v_head_dim = int(hf_cfg.get("v_head_dim", 128))
+            card.head_dim = card.qk_nope_head_dim + card.qk_rope_head_dim
+            card.n_kv_head = card.n_head   # MLA materializes per-head K/V
         return card
 
 

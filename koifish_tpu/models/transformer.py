@@ -73,14 +73,20 @@ def init_params(card: ModelCard, key: jax.Array, dtype=jnp.bfloat16) -> Params:
     layers: List[Params] = []
     for li in range(L):
         ks = jax.random.split(keys[3 + li], 8)
-        lp: Params = {
-            "ln1": jnp.ones((E,), dtype),
-            "q": nrm(ks[0], (E, Hq * D)),
-            "k": nrm(ks[1], (E, Hkv * D)),
-            "v": nrm(ks[2], (E, Hkv * D)),
-            "o": nrm(ks[3], (Hq * D, E), res_std),
-            "ln2": jnp.ones((E,), dtype),
-        }
+        if card.attn == "mla":
+            from koifish_tpu.models.mla import init_mla_layer
+            lp: Params = {"ln1": jnp.ones((E,), dtype),
+                          "ln2": jnp.ones((E,), dtype)}
+            lp.update(init_mla_layer(card, ks[0], dtype))
+        else:
+            lp = {
+                "ln1": jnp.ones((E,), dtype),
+                "q": nrm(ks[0], (E, Hq * D)),
+                "k": nrm(ks[1], (E, Hkv * D)),
+                "v": nrm(ks[2], (E, Hkv * D)),
+                "o": nrm(ks[3], (Hq * D, E), res_std),
+                "ln2": jnp.ones((E,), dtype),
+            }
         if card.norm == "layernorm":
             lp["ln1_b"] = jnp.zeros((E,), dtype)
             lp["ln2_b"] = jnp.zeros((E,), dtype)
@@ -158,8 +164,14 @@ def _linear_l(x: jax.Array, lp: Params, key: str) -> jax.Array:
 def qkv_project(card: ModelCard, lp: Params, x: jax.Array,
                 cos, sin, positions) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """x -> rotated q,k and v, shaped [B, T, H, D]."""
+    if card.attn == "mla":
+        from koifish_tpu.models.mla import mla_qkv
+        return mla_qkv(card, lp, x, positions)
     B, T, _ = x.shape
     D = card.head_dim
+    # NB: runtime-fused QKV (concat weights, one wide matmul) was measured
+    # 3% SLOWER on v5e — the per-step concat of weight inputs isn't free and
+    # XLA already schedules the three dots back-to-back. Kept separate.
     q = _linear_l(x, lp, "q").reshape(B, T, card.n_head, D)
     k = _linear_l(x, lp, "k").reshape(B, T, card.n_kv_head, D)
     v = _linear_l(x, lp, "v").reshape(B, T, card.n_kv_head, D)

@@ -81,7 +81,8 @@ def causal_attention(
     logits = jnp.where(allowed, logits, -1e30)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, v.astype(jnp.float32))
-    return out.reshape(b, tq, hq, d).astype(q.dtype)
+    # NB: value head dim may differ from qk head dim (MLA)
+    return out.reshape(b, tq, hq, v.shape[-1]).astype(q.dtype)
 
 
 def decode_attention(
@@ -107,4 +108,4 @@ def decode_attention(
     logits = jnp.where(kv_mask[:, None, None, :], logits, -1e30)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhgs,bshd->bhgd", probs, v_cache.astype(jnp.float32))
-    return out.reshape(b, hq, d).astype(q.dtype)
+    return out.reshape(b, hq, v_cache.shape[-1]).astype(q.dtype)

@@ -38,3 +38,62 @@ def cross_entropy_loss(
     m = mask.astype(jnp.float32)
     denom = jnp.maximum(m.sum(), 1.0)
     return (per_tok * m).sum() / denom, per_tok
+
+
+def fused_ce_loss(
+    hidden: jax.Array,           # [B, T, E]
+    head_w: jax.Array,           # [E, V] (tied: wte.T)
+    targets: jax.Array,          # [B, T] int32
+    mask: Optional[jax.Array] = None,
+    chunk: int = 8192,
+) -> Tuple[jax.Array, jax.Array]:
+    """CE directly from hidden states + head weight, scanning VOCAB CHUNKS
+    with a running logsumexp — the [B,T,V] logits tensor is never
+    materialized (5 GB for Qwen3's 152k vocab at B=16). This is the true
+    fused-classifier analog (reference fused_classifier.cuh:68) and what
+    lets large-vocab models train at batch on one chip.
+    """
+    B, T, E = hidden.shape
+    V = head_w.shape[-1]
+    n_chunks = -(-V // chunk)
+    pad_v = n_chunks * chunk - V
+    w = head_w.astype(jnp.bfloat16)
+    if pad_v:
+        w = jnp.pad(w, ((0, 0), (0, pad_v)))
+    wc = w.reshape(E, n_chunks, chunk).transpose(1, 0, 2)   # [C, E, chunk]
+
+    x2 = hidden.reshape(B * T, E)
+    tgt = targets.reshape(B * T)
+
+    def body(carry, inp):
+        m_run, s_run, gold = carry
+        w_c, ci = inp
+        logits = jnp.dot(x2, w_c, preferred_element_type=jnp.float32)
+        # mask padded vocab tail
+        vpos = ci * chunk + jnp.arange(chunk)
+        logits = jnp.where(vpos[None, :] < V, logits, -1e30)
+        m_new = jnp.maximum(m_run, logits.max(-1))
+        s_run = s_run * jnp.exp(m_run - m_new) + \
+            jnp.exp(logits - m_new[:, None]).sum(-1)
+        # gold logit if target falls into this chunk
+        local = tgt - ci * chunk
+        in_chunk = (local >= 0) & (local < chunk)
+        picked = jnp.take_along_axis(
+            logits, jnp.clip(local, 0, chunk - 1)[:, None], axis=1)[:, 0]
+        gold = jnp.where(in_chunk, picked, gold)
+        return (m_new, s_run, gold), None
+
+    init = (jnp.full((B * T,), -1e30, jnp.float32),
+            jnp.zeros((B * T,), jnp.float32),
+            jnp.zeros((B * T,), jnp.float32))
+    # checkpoint the body: without it autodiff saves every chunk's logits
+    # as scan residuals — re-materializing the full [B*T, V] f32 tensor
+    (m_run, s_run, gold), _ = jax.lax.scan(
+        jax.checkpoint(body), init, (wc, jnp.arange(n_chunks)))
+    lse = m_run + jnp.log(jnp.maximum(s_run, 1e-30))
+    per_tok = (lse - gold).reshape(B, T)
+    if mask is None:
+        return per_tok.mean(), per_tok
+    mk = mask.astype(jnp.float32)
+    denom = jnp.maximum(mk.sum(), 1.0)
+    return (per_tok * mk).sum() / denom, per_tok

@@ -62,6 +62,7 @@ def decode_attention_int8_or_none(
         _platform_is_tpu()
         and s % BS == 0
         and d in (64, 128, 256)
+        and v_codes.shape[-1] == d      # MLA (K dim != V dim) not fused yet
         and g <= GPAD
         and k_codes.dtype == jnp.int8
     )

@@ -47,25 +47,36 @@ class KVCache:
 
 def init_cache(n_layers: int, batch: int, size: int, n_kv_head: int,
                head_dim: int, fmt: QFormat = QFormat.BF16, sinks: int = 2,
-               ) -> KVCache:
+               v_head_dim: int = 0) -> KVCache:
     # head-major layout [L, B, H, S, D]: decode kernels block (S, D) tiles
-    # per head with no transposes (TPU min-tile rules)
-    shape = (n_layers, batch, n_kv_head, size, head_dim)
+    # per head with no transposes (TPU min-tile rules).
+    # v_head_dim: MLA models have K dim != V dim (DeepSeek.cpp:97).
+    vd = v_head_dim or head_dim
+    kshape = (n_layers, batch, n_kv_head, size, head_dim)
+    vshape = (n_layers, batch, n_kv_head, size, vd)
     if fmt is QFormat.BF16:
-        k = jnp.zeros(shape, jnp.bfloat16)
-        v = jnp.zeros(shape, jnp.bfloat16)
+        k = jnp.zeros(kshape, jnp.bfloat16)
+        v = jnp.zeros(vshape, jnp.bfloat16)
         ks = vs = None
     elif fmt in (QFormat.INT8, QFormat.INT4):
         # INT4 stored unpacked in int8 lanes (codes in [-8,7]); the packed
         # layout only pays off inside a fused Pallas attention kernel.
-        k = jnp.zeros(shape, jnp.int8)
-        v = jnp.zeros(shape, jnp.int8)
-        ks = jnp.zeros(shape[:4], jnp.float32)
-        vs = jnp.zeros(shape[:4], jnp.float32)
+        k = jnp.zeros(kshape, jnp.int8)
+        v = jnp.zeros(vshape, jnp.int8)
+        ks = jnp.zeros(kshape[:4], jnp.float32)
+        vs = jnp.zeros(vshape[:4], jnp.float32)
     else:
         raise ValueError(f"unsupported KV format {fmt}")
     return KVCache(k=k, v=v, k_scale=ks, v_scale=vs,
                    pos=jnp.zeros((batch,), jnp.int32), fmt=fmt, sinks=sinks)
+
+
+def cache_for(card, batch: int, size: int, fmt: QFormat = QFormat.BF16,
+              sinks: int = 2) -> KVCache:
+    """Cache sized from a ModelCard (handles MLA's K/V dim split)."""
+    return init_cache(card.n_layer, batch, size, card.n_kv_head,
+                      card.head_dim, fmt=fmt, sinks=sinks,
+                      v_head_dim=card.v_head_dim if card.attn == "mla" else 0)
 
 
 def ring_slot(pos: jax.Array, size: int, sinks: int) -> jax.Array:

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from koifish_tpu.config import ModelCard, TrainCard
 from koifish_tpu.models.transformer import model_forward
 from koifish_tpu.ops.cross_entropy import cross_entropy_loss
+from koifish_tpu.quant.qtensor import QTensor
 from koifish_tpu.train.optimizer import OptState, apply_updates, init_opt_state
 from koifish_tpu.train.schedule import lr_at
 
@@ -46,10 +47,20 @@ def compute_loss(card: ModelCard, params, tokens, loss_mask=None,
     if qcard is not None and qcard.rules and qcard.train_target != "gama":
         from koifish_tpu.quant.qat import apply_qat
         params = apply_qat(params, qcard, card)
-    logits = model_forward(card, params, tokens[:, :-1], remat=remat,
-                           logits_dtype=jnp.bfloat16)
     targets = tokens[:, 1:]
     mask = loss_mask[:, 1:] if loss_mask is not None else None
+
+    # large vocab: chunked fused classifier — never materialize [B,T,V]
+    head = params.get("head", params["wte"])
+    if card.vocab_size >= 65536 and not isinstance(head, QTensor):
+        from koifish_tpu.ops.cross_entropy import fused_ce_loss
+        hidden = model_forward(card, params, tokens[:, :-1], remat=remat,
+                               return_hidden=True)
+        head_w = head if "head" in params else head.T
+        return fused_ce_loss(hidden, head_w, targets, mask)
+
+    logits = model_forward(card, params, tokens[:, :-1], remat=remat,
+                           logits_dtype=jnp.bfloat16)
     loss, per_tok = cross_entropy_loss(logits, targets, mask)
     return loss, per_tok
 

@@ -104,3 +104,64 @@ def test_config_port_reference_json():
     assert len(p.quant.rules) == 2
     from koifish_tpu.dtypes import QFormat
     assert p.quant.rule_for("model.layers.0.self_attn.q_proj").fmt == QFormat.INT4
+
+
+def test_mla_deepseek_forward_and_decode():
+    """DeepSeek-style MLA: forward shapes, causality, decode==forward."""
+    from koifish_tpu.serve import cache_for, prefill, decode_step
+    card = ModelCard.from_arch(
+        "DEEPSEEK", vocab_size=256, n_layer=2, n_embd=64, n_head=4,
+        n_kv_head=4, n_ffn=128, n_ctx=32, max_pos=64)
+    card.attn = "mla"
+    card.q_lora_rank = 24
+    card.kv_lora_rank = 32
+    card.qk_nope_head_dim = 16
+    card.qk_rope_head_dim = 8
+    card.v_head_dim = 16
+    card.head_dim = 24
+    params = init_params(card, jax.random.PRNGKey(0))
+    assert "wkv_a" in params["layers"][0] and "wq_a" in params["layers"][0]
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 256)
+    full = model_forward(card, params, tokens)
+    assert full.shape == (2, 10, 256)
+    assert bool(jnp.isfinite(full).all())
+
+    # incremental decode parity
+    import numpy as np
+    cache = cache_for(card, 2, 32)
+    assert cache.v.shape[-1] == 16 and cache.k.shape[-1] == 24
+    logits, cache = prefill(card, params, tokens[:, :1], cache)
+    outs = [logits]
+    for t in range(1, 10):
+        logits, cache = decode_step(card, params, tokens[:, t], cache)
+        outs.append(logits)
+    inc = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_mla_trains():
+    from koifish_tpu.train.trainer import init_train_state, make_train_step
+    from koifish_tpu.config import TrainCard
+    card = ModelCard.from_arch(
+        "DEEPSEEK", vocab_size=128, n_layer=2, n_embd=64, n_head=4,
+        n_kv_head=4, n_ffn=128, n_ctx=32, max_pos=64)
+    card.attn = "mla"
+    card.q_lora_rank = 0         # direct q projection variant
+    card.kv_lora_rank = 32
+    card.qk_nope_head_dim = 16
+    card.qk_rope_head_dim = 8
+    card.v_head_dim = 16
+    card.head_dim = 24
+    tcard = TrainCard(batch=8, lr=0.01, warmup=3, dump_every=100)
+    state = init_train_state(card, tcard)
+    step = make_train_step(card, tcard, total_steps=20)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(15):
+        key, k = jax.random.split(key)
+        s = jax.random.randint(k, (8, 1), 0, 64)
+        batch = {"tokens": ((s + jnp.arange(33)[None]) % 64)[None].astype(jnp.int32)}
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7
