@@ -73,10 +73,16 @@ def init_params(card: ModelCard, key: jax.Array, dtype=jnp.bfloat16) -> Params:
     layers: List[Params] = []
     for li in range(L):
         ks = jax.random.split(keys[3 + li], 8)
-        if card.attn == "mla":
+        if card.arch == "MAMBA":
+            from koifish_tpu.models.mamba import init_mamba_layer
+            lp: Params = {"ln1": jnp.ones((E,), dtype)}
+            lp.update(init_mamba_layer(card, ks[0], dtype))
+            layers.append(lp)
+            continue
+        elif card.attn == "mla":
             from koifish_tpu.models.mla import init_mla_layer
-            lp: Params = {"ln1": jnp.ones((E,), dtype),
-                          "ln2": jnp.ones((E,), dtype)}
+            lp = {"ln1": jnp.ones((E,), dtype),
+                  "ln2": jnp.ones((E,), dtype)}
             lp.update(init_mla_layer(card, ks[0], dtype))
         else:
             lp = {
@@ -201,6 +207,10 @@ def mlp(card: ModelCard, lp: Params, x: jax.Array) -> jax.Array:
 def layer_forward(card: ModelCard, lp: Params, x: jax.Array,
                   cos, sin, positions, window: int = 0) -> jax.Array:
     """One transformer block over a full sequence (training / prefill)."""
+    if card.arch == "MAMBA":
+        from koifish_tpu.models.mamba import mamba_block
+        h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
+        return x + mamba_block(card, lp, h)
     h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
     q, k, v = qkv_project(card, lp, h, cos, sin, positions)
     a = causal_attention(q, k, v, window=window)

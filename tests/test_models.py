@@ -165,3 +165,40 @@ def test_mla_trains():
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.7
+
+
+def test_mamba_forward_causal_and_trains():
+    """Mamba SSM: shapes, causality, loss drops (the reference's LLM_MAMBA
+    is a non-functional stub — this is a working selective SSM)."""
+    card = ModelCard.from_arch("MAMBA", vocab_size=128, n_layer=2, n_embd=64,
+                               n_head=4, n_kv_head=4, head_dim=16, n_ffn=128,
+                               n_ctx=32, max_pos=64)
+    params = init_params(card, jax.random.PRNGKey(0))
+    assert "in_proj" in params["layers"][0]
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+    logits = model_forward(card, params, tokens)
+    assert logits.shape == (2, 16, 128)
+    assert bool(jnp.isfinite(logits).all())
+
+    # causality: future token must not affect past logits
+    t2 = tokens.at[0, 10].set((tokens[0, 10] + 1) % 128)
+    l1 = model_forward(card, params, tokens)
+    l2 = model_forward(card, params, t2)
+    np.testing.assert_allclose(np.asarray(l1[0, :10]), np.asarray(l2[0, :10]),
+                               rtol=1e-4, atol=1e-4)
+
+    # trains on the +1 pattern
+    from koifish_tpu.config import TrainCard
+    from koifish_tpu.train.trainer import init_train_state, make_train_step
+    tcard = TrainCard(batch=8, lr=0.01, warmup=3, dump_every=100)
+    state = init_train_state(card, tcard)
+    step = make_train_step(card, tcard, total_steps=20)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(15):
+        key, k = jax.random.split(key)
+        s = jax.random.randint(k, (8, 1), 0, 64)
+        batch = {"tokens": ((s + jnp.arange(33)[None]) % 64)[None].astype(jnp.int32)}
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
