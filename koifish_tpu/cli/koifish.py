@@ -95,6 +95,8 @@ def main(argv=None) -> int:
 
     eval_cards = [d for k, d in p.datasets.items() if k.startswith("eval")]
 
+    eval_csv = os.path.join(args.out_dir, "Eval.csv")
+
     def eval_fn(st, it):
         for d in eval_cards:
             if d.kind == "hellaswag":
@@ -107,6 +109,11 @@ def main(argv=None) -> int:
                                  eds.batches(tcard.batch, card.n_ctx),
                                  max_batches=max(int(8 * d.samp * 10), 2))
             print(f"[eval {d.name}@{it}] ce={ce:.4f} ppl={ppl:.2f}")
+            new = not os.path.exists(eval_csv)
+            with open(eval_csv, "a") as f:   # Eval.csv artifact (ref analog)
+                if new:
+                    f.write("iter,dataset,ce,ppl\n")
+                f.write(f"{it},{d.name},{ce:.6f},{ppl:.4f}\n")
         return {}
 
     ckpt_dir = (p.checkpoint_out.path if p.checkpoint_out else args.out_dir)

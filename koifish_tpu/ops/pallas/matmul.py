@@ -44,30 +44,97 @@ def _platform_is_tpu() -> bool:
 
 
 def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
-    """Dispatch: Pallas fused kernel when eligible, else XLA dequant+dot."""
+    """Dispatch: Pallas fused kernel when eligible, else XLA dequant+dot.
+
+    Two kernels: a tiled GEMM for training/prefill (m >= 64) and a GEMV
+    (m <= 8, full-K per N-tile) for decode — the GEMM would pad a decode
+    batch 8 -> 256 rows (32x wasted MXU issue).
+    """
     m = int(jnp.size(x) // x.shape[-1])
     k, n = w.shape[0], w.shape[-1]
     # tile constraints: bk=1024 so the scales tile is [bk/group=8, bn]
     # (sublane-aligned); bn 256 when possible, else 128
-    eligible = (
+    base_ok = (
         _platform_is_tpu()
         and w.fmt in (QFormat.INT8, QFormat.INT4, QFormat.NF4)
         and w.zeros is None
         and k % 1024 == 0 and n % 128 == 0
         and w.group == 128
-        and m >= 8
     )
-    if not eligible:
+    if not base_ok or m < 1:
         return _ref_qmatmul(x, w, out_dtype)
     lead = x.shape[:-1]
     x2 = x.reshape(m, k)
-    pad_m = (-m) % 256
-    if pad_m:
-        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
-    y = _qmm(x2, w.codes, w.scales, fmt=w.fmt, group=w.group, k=k)
-    if pad_m:
+    if m <= 8:
+        pad_m = 8 - m
+        if pad_m:
+            x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+        y = _qmv(x2, w.codes, w.scales, fmt=w.fmt, group=w.group, k=k)
         y = y[:m]
+    elif m >= 64:
+        pad_m = (-m) % 256
+        if pad_m:
+            x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+        y = _qmm(x2, w.codes, w.scales, fmt=w.fmt, group=w.group, k=k)
+        if pad_m:
+            y = y[:m]
+    else:
+        return _ref_qmatmul(x, w, out_dtype)
     return y.reshape(*lead, n).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "group", "k"))
+def _qmv(x, codes, scales, *, fmt: QFormat, group: int, k: int):
+    """Dequant-fused GEMV: x [8, K] x packed w [K, N] -> [8, N].
+    Grid over N tiles; the full K stays in VMEM per tile (K <= 8192)."""
+    n = codes.shape[-1]
+    bn = 256 if n % 256 == 0 else 128
+    cpb = fmt.codes_per_byte if fmt.is_sub_byte else 1
+    kernel = functools.partial(_qmv_kernel, fmt=fmt, group=group, k=k)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((8, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // cpb, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // group, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, bn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * n * k,
+            bytes_accessed=8 * k * 2 + k * n // cpb + 8 * n * 2,
+            transcendentals=0,
+        ),
+    )(x, codes, scales)
+
+
+def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, fmt, group, k):
+    codes = w_ref[:]
+    if fmt is QFormat.INT8:
+        wf = codes.astype(jnp.float32)
+    else:
+        c32 = codes.astype(jnp.int32)
+        lo = c32 & 0x0F
+        hi = (c32 >> 4) & 0x0F
+        raw = jnp.stack([lo, hi], axis=1).reshape(k, -1)
+        if fmt is QFormat.NF4:
+            book = [float(v) for v in NF4_LIST]
+            wf = jnp.full(raw.shape, book[0], jnp.float32)
+            for i in range(1, 16):
+                wf = jnp.where(raw == i, book[i], wf)
+        else:
+            wf = raw.astype(jnp.float32) - 8.0
+    s = s_ref[:].astype(jnp.float32)
+    wf = wf.reshape(k // group, group, -1) * s[:, None, :]
+    wf = wf.reshape(k, -1).astype(jnp.bfloat16)
+    o_ref[:] = jnp.dot(x_ref[:], wf,
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "group", "k"))

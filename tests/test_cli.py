@@ -222,3 +222,20 @@ def test_koifish_multichip_cli(tmp_path):
     with open(tmp_path / "koifish_loss.csv") as f:
         rows = list(csv.DictReader(f))
     assert float(rows[-1]["loss"]) < float(rows[0]["loss"])
+
+
+def test_bubble_awq_model_cli(tmp_path):
+    """Chat from a vendor-AWQ checkpoint (quantize-at-load import path) —
+    the analog of the reference's AWQ inference golden (test_lite.py:36-53)."""
+    from tests.helpers import make_hf_awq_qwen3_dir
+    d = tmp_path / "awq"
+    d.mkdir()
+    card = ModelCard.from_arch("QWEN3", vocab_size=320, n_layer=2, n_embd=64,
+                               n_head=4, n_kv_head=2, head_dim=16, n_ffn=128,
+                               n_ctx=64, max_pos=256)
+    make_hf_awq_qwen3_dir(d, card)
+    r = run_cli("bubble", "--hf", str(d), "--prompts", "hello",
+                "--max-new", "6", "--temperature", "0", "--ctx", "128",
+                "--device", "cpu", "--csv", str(tmp_path / "chat.csv"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tk/s" in r.stdout

@@ -106,3 +106,18 @@ def test_decode_attention_int8_kernel():
         assert err < 0.03, err
     finally:
         pda.set_interpret(False)
+
+
+@pytest.mark.parametrize("fmt", [QFormat.INT8, QFormat.INT4, QFormat.NF4])
+def test_qmv_kernel_matches_ref(fmt):
+    """Decode GEMV path (m<=8, full-K per N tile)."""
+    key = jax.random.PRNGKey(0)
+    M, K, N = 3, 1024, 256
+    x = jax.random.normal(key, (M, K), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.float32) * 0.02
+    qt = quantize(w, fmt, group=128)
+    ref = pmm._ref_qmatmul(x, qt, jnp.float32)
+    out = pmm.qmatmul_pallas_or_ref(x, qt, jnp.float32)
+    err = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert err < 0.02, err
+    assert out.shape == (M, N)

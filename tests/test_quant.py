@@ -89,3 +89,22 @@ def test_qtensor_is_pytree():
     # jit through a QTensor argument
     f = jax.jit(lambda q: q.dequantize(jnp.float32).sum())
     f(qt)
+
+
+def test_per_layer_quant_rule_filter():
+    """Reference-style per-layer ablation: quantize ONE layer's attention
+    (cases/test_lite.py:67-84 rewrites the config per layer)."""
+    from koifish_tpu.config import ModelCard, QuantCard
+    from koifish_tpu.models import init_params
+    from koifish_tpu.quant.apply import quantize_params
+    card = ModelCard.from_arch("QWEN3", vocab_size=128, n_layer=3, n_embd=64,
+                               n_head=4, n_kv_head=2, head_dim=16, n_ffn=128,
+                               n_ctx=32, max_pos=64)
+    params = init_params(card, jax.random.PRNGKey(0))
+    qcard = QuantCard.from_json({"layers.1.self_attn": {"bits": 4},
+                                 "group_size": 32})
+    qp = quantize_params(params, qcard)
+    assert isinstance(qp["layers"][1]["q"], QTensor)
+    assert not isinstance(qp["layers"][0]["q"], QTensor)
+    assert not isinstance(qp["layers"][2]["q"], QTensor)
+    assert not isinstance(qp["layers"][1]["gate"], QTensor)
