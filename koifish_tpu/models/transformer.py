@@ -134,7 +134,7 @@ def gather_embed(wte, tokens: jax.Array) -> jax.Array:
     if isinstance(wte, QTensor):
         ids = tokens.reshape(-1)
         cols = jnp.take(wte.codes, ids, axis=1)           # [E_packed, N]
-        raw = unpack_codes(cols, wte.fmt, wte.shape[0])   # [E, N] (uint8/int8)
+        raw = unpack_codes(cols, wte.fmt, wte.shape[0], group=wte.group)
         from koifish_tpu.quant.qtensor import codebook_for
         from koifish_tpu.dtypes import QFormat
         if wte.fmt is QFormat.INT8:

@@ -119,7 +119,8 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, fmt, group, k):
     if fmt is QFormat.INT8:
         wf = codes.astype(jnp.float32)
     else:
-        c32 = codes.astype(jnp.int32)
+        ng, sub = k // group, group // 2
+        c32 = codes.astype(jnp.int32).reshape(ng, sub, -1)
         lo = c32 & 0x0F
         hi = (c32 >> 4) & 0x0F
         raw = jnp.stack([lo, hi], axis=1).reshape(k, -1)
@@ -181,8 +182,11 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, fmt, group, bk):
         wf = codes.astype(jnp.float32)
     else:
         # unpack 2 nibbles per byte along axis 0 (packed axis = K);
-        # Mosaic can't shift i8 vectors — widen to i32 first
-        c32 = codes.astype(jnp.int32)
+        # Mosaic can't shift i8 vectors — widen to i32 first. Group-local
+        # block-split pack order: unpack = contiguous 64-row block copies
+        # per 128-group (no per-row sublane interleave).
+        ng, sub = bk // group, group // 2
+        c32 = codes.astype(jnp.int32).reshape(ng, sub, -1)
         lo = c32 & 0x0F
         hi = (c32 >> 4) & 0x0F
         raw = jnp.stack([lo, hi], axis=1).reshape(bk, -1)

@@ -48,7 +48,7 @@ def awq_to_qtensor(qweight: np.ndarray, qzeros: np.ndarray,
     group = n_in // scale.shape[0]
     # QTensor asymmetric dequant: w = codes*scale + zeros_offset
     zeros_offset = -zeros_codes.astype(np.float32) * scale
-    packed = pack_codes(jnp.asarray(codes), QFormat.INT4)
+    packed = pack_codes(jnp.asarray(codes), QFormat.INT4, group=group)
     return QTensor(codes=packed, scales=jnp.asarray(scale),
                    zeros=jnp.asarray(zeros_offset), fmt=QFormat.INT4,
                    shape=(n_in, n_out), group=group)

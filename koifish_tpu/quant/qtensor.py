@@ -96,7 +96,7 @@ class QTensor:
         if fmt is QFormat.INT8:
             codes = self.codes.astype(jnp.float32)
         else:
-            raw = unpack_codes(self.codes, fmt, n_in)
+            raw = unpack_codes(self.codes, fmt, n_in, group=self.group)
             if fmt.is_codebook:
                 codes = codebook_for(fmt)[raw.astype(jnp.int32)]
             elif fmt is QFormat.BINARY:

@@ -94,7 +94,7 @@ def quantize(
         zeros = lo.astype(scale_dtype)
 
     flat = codes.reshape(w2.shape[0], w2.shape[1])
-    packed = pack_codes(flat, fmt)
+    packed = pack_codes(flat, fmt, group=group)
     qt = QTensor(
         codes=packed,
         scales=scale.astype(scale_dtype),
