@@ -32,6 +32,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--device", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--csv", default="chat.csv")
     ap.add_argument("--think", action="store_true", help="enable thinking mode")
+    ap.add_argument("--interactive", action="store_true",
+                    help="multi-turn REPL on stdin (cache persists across turns)")
     return ap
 
 
@@ -48,7 +50,7 @@ def main(argv=None) -> int:
     from koifish_tpu.dtypes import QFormat, qformat_from_bits
     from koifish_tpu.io import load_hf_model
     from koifish_tpu.quant.apply import quantize_params
-    from koifish_tpu.serve import generate, init_cache
+    from koifish_tpu.serve import generate
 
     p = CLIParams.load(args.config) if args.config else CLIParams.from_json({})
     hf_dir = args.hf or p.hf_card
@@ -78,13 +80,19 @@ def main(argv=None) -> int:
                           top_p=args.top_p, max_new_tokens=args.max_new)
     eos = tokenizer.token_id("<|im_end|>") or tokenizer.token_id("<|endoftext|>") or -1
 
+    from koifish_tpu.serve import cache_for
+
     rows = []
-    for prompt in prompts:
+
+    def one_turn(prompt, cache, first_turn=True):
+        """Run one chat turn; returns (answer, cache) — the cache carries
+        the conversation for multi-turn REPL use."""
         text = render([{"role": "user", "content": prompt}], hf_dir, card.arch,
                       enable_thinking=args.think)
         ids = tokenizer.encode(text)
-        cache = init_cache(card.n_layer, 1, max(args.ctx, len(ids) + args.max_new),
-                           card.n_kv_head, card.head_dim, fmt=kv_fmt)
+        if cache is None:
+            size = max(args.ctx, len(ids) + args.max_new)
+            cache = cache_for(card, 1, size, fmt=kv_fmt)
         t0 = time.time()
         toks, cache = generate(card, params, jnp.asarray([ids], jnp.int32),
                                cache, sampler, max_new_tokens=args.max_new,
@@ -96,6 +104,26 @@ def main(argv=None) -> int:
         print(f"\n>>> {prompt}\n{answer}\n[{tks:.2f} tk/s, "
               f"{len(ids)} prompt + {len(out_ids)} new]")
         rows.append((prompt, answer, f"{tks:.2f}"))
+        return answer, cache
+
+    if args.interactive:
+        cache = None
+        print("[bubble] interactive mode — empty line to exit")
+        while True:
+            try:
+                prompt = input("you> ").strip()
+            except EOFError:
+                break
+            if not prompt:
+                break
+            try:
+                _, cache = one_turn(prompt, cache)
+            except Exception as e:  # cache overflow etc: restart conversation
+                print(f"[bubble] {type(e).__name__}: {e}; resetting context")
+                cache = None
+    else:
+        for prompt in prompts:
+            one_turn(prompt, None)
 
     if args.csv:
         new = not os.path.exists(args.csv)

@@ -26,6 +26,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
     ap.add_argument("--fsdp", action="store_true",
                     help="shard params+moments over dp (ZeRO-3 analog)")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint to resume from (params+moments+step)")
+    ap.add_argument("--wandb", default=None, metavar="PROJECT",
+                    help="log to Weights & Biases (reference gates this "
+                         "behind _USE_WANDB_; here it's a runtime flag)")
     return ap
 
 
@@ -66,6 +71,12 @@ def main(argv=None) -> int:
         print(f"[koifish] SFT method={p.sft.method}")
 
     state = init_train_state(card, tcard, params=params)
+    resume_path = args.resume or p.checkpoint_in
+    if resume_path:
+        from koifish_tpu.io import load_train_state
+        state, meta = load_train_state(resume_path, state)
+        print(f"[koifish] resumed from {resume_path} "
+              f"(step {int(state.opt.step)})")
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"[koifish] arch={card.arch} layers={card.n_layer} "
           f"params={n_params/1e6:.1f}M device={jax.default_backend()}")
@@ -144,11 +155,34 @@ def main(argv=None) -> int:
             state = init_train_state(
                 card, tcard, params=quantize_params(state.params, qcard, card))
 
+    wandb_run = None
+    if args.wandb:
+        try:
+            import wandb
+            wandb_run = wandb.init(project=args.wandb,
+                                   config={"arch": card.arch,
+                                           "batch": tcard.batch,
+                                           "lr": tcard.lr})
+        except Exception as e:
+            print(f"[koifish] wandb unavailable: {e}")
+
+    def log_fn(msg):
+        print(msg)
+        if wandb_run is not None and msg.startswith("["):
+            try:
+                parts = dict(kv.split("=") for kv in msg.split("]")[1].split()
+                             if "=" in kv)
+                wandb_run.log({k: float(v.rstrip("Ktok/s"))
+                               for k, v in parts.items()
+                               if k in ("loss", "lr", "gnorm")})
+            except Exception:
+                pass
+
     t0 = time.time()
     state, infos = train_loop(
         card, tcard, state, batches,
-        total_steps=total_steps, eval_fn=eval_fn, save_fn=save_fn,
-        qcard=qcard, trainable=trainable)
+        total_steps=total_steps, log_fn=log_fn, eval_fn=eval_fn,
+        save_fn=save_fn, qcard=qcard, trainable=trainable)
     csv = os.path.join(args.out_dir, "koifish_loss.csv")
     infos.save_csv(csv)
     if infos.rows:

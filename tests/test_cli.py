@@ -239,3 +239,39 @@ def test_bubble_awq_model_cli(tmp_path):
                 "--device", "cpu", "--csv", str(tmp_path / "chat.csv"))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "tk/s" in r.stdout
+
+
+def test_koifish_resume_cli(tmp_path):
+    """Train, checkpoint, resume — loss continues from where it left off."""
+    seq = (np.arange(30000) % 64).astype(np.uint32)
+    write_shard(str(tmp_path / "r_train.bin"), seq, MAGIC_QWEN3, 300)
+    cfg = {
+        "model": {"arch": "QWEN3", "vocab_size": 300,
+                  "parameter": {"Layer": 2,
+                                "transformer": {"Ctx": 32, "Embed": 64,
+                                                "Ffn": 128, "Head": 4,
+                                                "KVHead": 2, "head_dim": 16}}},
+        "train": {"batch": 8, "learning-rate": 0.01, "warmup": 3,
+                  "dump-every": 5, "save-every": 100},
+        "datasets": {"train": {"glob": str(tmp_path / "r_train.bin")}},
+        "debug": {"most_iter": 15},
+        "seed": 42,
+    }
+    cfgp = str(tmp_path / "r.json")
+    with open(cfgp, "w") as f:
+        json.dump(cfg, f)
+    r = run_cli("koifish", cfgp, "--device", "cpu", "--out-dir", str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    import glob as g
+    cks = g.glob(str(tmp_path / "koifish_final_*.safetensors"))
+    assert cks
+    with open(tmp_path / "koifish_loss.csv") as f:
+        loss_before = float(list(csv.DictReader(f))[-1]["loss"])
+    r2 = run_cli("koifish", cfgp, "--device", "cpu",
+                 "--out-dir", str(tmp_path), "--resume", cks[0])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed from" in r2.stdout and "step 15" in r2.stdout
+    with open(tmp_path / "koifish_loss.csv") as f:
+        rows = list(csv.DictReader(f))
+    # resumed run starts near where the first left off, not from scratch
+    assert float(rows[0]["loss"]) < loss_before + 1.0

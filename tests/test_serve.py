@@ -125,3 +125,37 @@ def test_sampling_greedy_and_topk():
     tok = sample_logits(jax.random.PRNGKey(0), logits, temperature=1.0,
                         top_k=4, top_p=1e-6)
     assert int(tok[0]) == 1
+
+
+def test_stacked_decode_matches_unrolled():
+    """Layer-scan decode == unrolled decode (bf16 and int8 KV)."""
+    from koifish_tpu.serve.stacked import stack_layers, decode_step_stacked
+    card = tiny_card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    sparams = stack_layers(params)
+    assert sparams is not None
+    for fmt in (QFormat.BF16, QFormat.INT8):
+        c1 = init_cache(card.n_layer, 2, 32, card.n_kv_head, card.head_dim,
+                        fmt=fmt)
+        c2 = init_cache(card.n_layer, 2, 32, card.n_kv_head, card.head_dim,
+                        fmt=fmt)
+        l1, c1 = prefill(card, params, jnp.ones((2, 4), jnp.int32), c1)
+        l2, c2 = prefill(card, params, jnp.ones((2, 4), jnp.int32), c2)
+        for t in range(3):
+            tok = jnp.full((2,), 5 + t, jnp.int32)
+            l1, c1 = decode_step(card, params, tok, c1)
+            l2, c2 = decode_step_stacked(card, sparams, tok, c2)
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                       rtol=2e-2, atol=2e-2), fmt
+
+
+def test_stack_layers_heterogeneous_returns_none():
+    from koifish_tpu.serve.stacked import stack_layers
+    from koifish_tpu.config import QuantCard
+    from koifish_tpu.quant.apply import quantize_params
+    card = tiny_card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    qc = QuantCard.from_json({"layers.1.self_attn": {"bits": 4},
+                              "group_size": 16})
+    qp = quantize_params(params, qc)
+    assert stack_layers(qp) is None
