@@ -45,6 +45,7 @@ def bench_decode(args):
     from koifish_tpu.quant.apply import quantize_params
     from koifish_tpu.serve import init_cache
     from koifish_tpu.serve.engine import _jit_decode_sample, _jit_prefill
+    from koifish_tpu.serve.stacked import stack_layers
     from koifish_tpu.ops.sampling import sample_logits
 
     card = qwen3_0_6b()
@@ -52,6 +53,7 @@ def bench_decode(args):
     qc = QuantCard.from_json({"self_attn": {"bits": 4}, "mlp": {"bits": 4},
                               "group_size": 128})
     params = quantize_params(params, qc, card)
+    dparams = stack_layers(params) or params   # layer-scan decode
     B, S, P = args.batch, 1024, 128
     sampler = SamplerCard(temperature=0.6)
     cache = init_cache(card.n_layer, B, S, card.n_kv_head, card.head_dim,
@@ -68,12 +70,12 @@ def bench_decode(args):
     ttft_cold = time.perf_counter() - t0
 
     # warm decode
-    tok, cache, rng = _jit_decode_sample(card, params, tok, cache, rng, sampler)
+    tok, cache, rng = _jit_decode_sample(card, dparams, tok, cache, rng, sampler)
     int(tok[0])
     N = args.steps
     t0 = time.perf_counter()
     for _ in range(N):
-        tok, cache, rng = _jit_decode_sample(card, params, tok, cache, rng,
+        tok, cache, rng = _jit_decode_sample(card, dparams, tok, cache, rng,
                                              sampler)
     int(tok[0])  # true sync (host fetch)
     dt = (time.perf_counter() - t0) / N
@@ -97,6 +99,8 @@ def main():
     ap.add_argument("--ctx", type=int, default=1024)
     args = ap.parse_args()
     if args.mode == "decode":
+        if args.batch == 16:   # decode default: best measured config
+            args.batch = 32
         return bench_decode(args)
 
     card = gpt2_124m() if args.model == "gpt2-124m" else qwen3_0_6b()

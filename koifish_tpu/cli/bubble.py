@@ -81,6 +81,8 @@ def main(argv=None) -> int:
     eos = tokenizer.token_id("<|im_end|>") or tokenizer.token_id("<|endoftext|>") or -1
 
     from koifish_tpu.serve import cache_for
+    from koifish_tpu.serve.stacked import stack_layers
+    dparams = stack_layers(params)   # layer-scan decode when homogeneous
 
     rows = []
 
@@ -96,7 +98,7 @@ def main(argv=None) -> int:
         t0 = time.time()
         toks, cache = generate(card, params, jnp.asarray([ids], jnp.int32),
                                cache, sampler, max_new_tokens=args.max_new,
-                               eos_id=eos)
+                               eos_id=eos, decode_params=dparams)
         dt = time.time() - t0
         out_ids = [t for t in toks[0].tolist() if t != eos]
         answer = tokenizer.decode(out_ids)

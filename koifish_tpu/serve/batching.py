@@ -74,8 +74,11 @@ class ContinuousBatcher:
     def __init__(self, card: ModelCard, params, n_slots: int = 8,
                  cache_size: int = 1024, kv_fmt: QFormat = QFormat.BF16,
                  sampler: Optional[SamplerCard] = None,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 decode_params=None):
         self.card, self.params = card, params
+        self.decode_params = decode_params if decode_params is not None \
+            else params
         self.n_slots = n_slots
         self.cache_size = cache_size
         self.kv_fmt = kv_fmt
@@ -146,7 +149,7 @@ class ContinuousBatcher:
             return bool(self.waiting)
         t0 = time.perf_counter()
         tok, self.pool, self.rng = _jit_decode_sample(
-            self.card, self.params, self.cur_tok, self.pool, self.rng,
+            self.card, self.decode_params, self.cur_tok, self.pool, self.rng,
             self.sampler)
         dt = time.perf_counter() - t0
         self.cur_tok = tok

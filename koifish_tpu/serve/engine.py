@@ -81,7 +81,14 @@ def prefill(card: ModelCard, params: Params, tokens: jax.Array,
 
 def decode_step(card: ModelCard, params: Params, token: jax.Array,
                 cache: KVCache) -> Tuple[jax.Array, KVCache]:
-    """One decode step: token [B] -> logits [B, V], updated cache."""
+    """One decode step: token [B] -> logits [B, V], updated cache.
+
+    Accepts either per-layer-list params (unrolled, supports heterogeneous
+    quant) or layer-stacked params from serve.stacked.stack_layers (scan —
+    O(one layer) op count, the fast path on dispatch-bound runtimes)."""
+    if not isinstance(params["layers"], list):
+        from koifish_tpu.serve.stacked import decode_step_stacked
+        return decode_step_stacked(card, params, token, cache)
     B = token.shape[0]
     positions = jnp.minimum(cache.pos, card.max_pos - 1)[:, None]  # [B, 1]
     cos, sin = _rope_tables(card)
@@ -121,6 +128,31 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
 _jit_prefill = jax.jit(prefill, static_argnames=("card", "return_all_logits"))
 
 
+def prefill_chunked(card: ModelCard, params: Params, tokens: jax.Array,
+                    cache: KVCache, chunk: int = 512,
+                    ) -> Tuple[jax.Array, KVCache]:
+    """Prefill an arbitrarily long prompt in fixed-size chunks (bounded
+    VMEM/activation footprint; one compiled executable per chunk size —
+    SURVEY.md §7 layer 4 'prefill chunks under XLA static shapes')."""
+    B, T = tokens.shape
+    logits = None
+    for s in range(0, T, chunk):
+        piece = tokens[:, s: s + chunk]
+        if piece.shape[1] < chunk and s > 0:
+            # right-pad the tail chunk to keep the executable shape, then
+            # roll back the padded positions
+            pad = chunk - piece.shape[1]
+            piece = jnp.pad(piece, ((0, 0), (0, pad)), mode="edge")
+            all_l, cache = _jit_prefill(card, params, piece, cache,
+                                        return_all_logits=True)
+            logits = all_l[:, piece.shape[1] - pad - 1]
+            import dataclasses
+            cache = dataclasses.replace(cache, pos=cache.pos - pad)
+        else:
+            logits, cache = _jit_prefill(card, params, piece, cache)
+    return logits, cache
+
+
 @functools.partial(jax.jit, static_argnames=("card", "sampler"),
                    donate_argnames=("cache",))
 def _jit_decode_sample(card, params, token, cache, rng, sampler):
@@ -140,11 +172,14 @@ def generate(
     max_new_tokens: int = 64,
     eos_id: int = -1,
     rng: Optional[jax.Array] = None,
+    decode_params: Optional[Params] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Host-driven generation loop over the jitted decode step. Returns
-    (generated tokens [B, <=max_new], cache)."""
+    (generated tokens [B, <=max_new], cache). ``decode_params``: optional
+    layer-stacked params (serve.stacked) used for the decode steps."""
     sampler = sampler or SamplerCard()
     rng = rng if rng is not None else jax.random.PRNGKey(sampler.seed)
+    dparams = decode_params if decode_params is not None else params
 
     logits, cache = _jit_prefill(card, params, prompt, cache)
     rng, sub = jax.random.split(rng)
@@ -155,7 +190,7 @@ def generate(
     for _ in range(max_new_tokens - 1):
         if bool(done.all()):
             break
-        tok, cache, rng = _jit_decode_sample(card, params, tok, cache,
+        tok, cache, rng = _jit_decode_sample(card, dparams, tok, cache,
                                              rng, sampler)
         tok = jnp.where(done, eos_id, tok)
         done = done | (tok == eos_id)

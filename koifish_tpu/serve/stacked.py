@@ -73,6 +73,7 @@ def decode_step_stacked(card: ModelCard, sparams: Params, token: jax.Array,
         h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
         q, k, v = qkv_project(card, lp, h, cos, sin, positions)
         k1, v1 = k[:, 0], v[:, 0]                   # [B, H, D]
+        a = None
         if quant_kv:
             kq, ksc = kvc._quant_kv(k1, cache.fmt)
             vq, vsc = kvc._quant_kv(v1, cache.fmt)
@@ -80,14 +81,26 @@ def decode_step_stacked(card: ModelCard, sparams: Params, token: jax.Array,
             vl = vl.at[bidx, :, slots].set(vq)
             ksl = ksl.at[bidx, :, slots].set(ksc)
             vsl = vsl.at[bidx, :, slots].set(vsc)
-            kf = (kl.astype(jnp.float32) * ksl[..., None]).astype(jnp.bfloat16)
-            vf = (vl.astype(jnp.float32) * vsl[..., None]).astype(jnp.bfloat16)
+            if cache.fmt is QFormat.INT8:
+                # fused kernel reads codes directly — no bf16 cache copy
+                from koifish_tpu.ops.pallas.decode_attn import (
+                    decode_attention_int8_or_none)
+                lengths = jnp.minimum(cache.pos + 1, cache.size)
+                a = decode_attention_int8_or_none(
+                    q[:, 0], kl, vl, ksl, vsl, lengths,
+                    1.0 / (q.shape[-1] ** 0.5))
+            if a is None:
+                kf = (kl.astype(jnp.float32) * ksl[..., None]
+                      ).astype(jnp.bfloat16)
+                vf = (vl.astype(jnp.float32) * vsl[..., None]
+                      ).astype(jnp.bfloat16)
         else:
             kl = kl.at[bidx, :, slots].set(k1.astype(kl.dtype))
             vl = vl.at[bidx, :, slots].set(v1.astype(vl.dtype))
             kf, vf = kl, vl
-        a = decode_attention(q[:, 0], jnp.moveaxis(kf, 1, 2),
-                             jnp.moveaxis(vf, 1, 2), valid)
+        if a is None:
+            a = decode_attention(q[:, 0], jnp.moveaxis(kf, 1, 2),
+                                 jnp.moveaxis(vf, 1, 2), valid)
         from koifish_tpu.models.transformer import _linear_l
         a = _linear_l(a.reshape(B, 1, -1), lp, "o")
         x = x + a

@@ -202,3 +202,35 @@ def test_mamba_forward_causal_and_trains():
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_embed_vae_compresses():
+    """EmbedVAE learns to reconstruct a low-rank embedding table."""
+    from koifish_tpu.models.embed_vae import (
+        train_embed_vae, reconstruction_loss, compress_embeddings,
+        init_embed_vae)
+    key = jax.random.PRNGKey(0)
+    # low-rank table: [512, 64] = U[512,16] @ V[16,64]
+    U = jax.random.normal(key, (512, 16))
+    Vm = jax.random.normal(jax.random.PRNGKey(1), (16, 64))
+    wte = U @ Vm / 4.0
+    vae, losses = train_embed_vae(wte, dims=[64, 32, 16], steps=300, lr=3e-3)
+    assert losses[-1] < losses[0] * 0.3
+    z = compress_embeddings(wte, vae)
+    assert z.shape == (512, 16)
+
+
+def test_prefill_chunked_matches_single():
+    from koifish_tpu.serve import init_cache
+    from koifish_tpu.serve.engine import prefill, prefill_chunked
+    card = tiny_card(arch="QWEN3", n_ctx=64, max_pos=128)
+    params = init_params(card, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 23), 0,
+                                card.vocab_size)
+    c1 = init_cache(card.n_layer, 2, 64, card.n_kv_head, card.head_dim)
+    c2 = init_cache(card.n_layer, 2, 64, card.n_kv_head, card.head_dim)
+    l1, c1 = prefill(card, params, tokens, c1)
+    l2, c2 = prefill_chunked(card, params, tokens, c2, chunk=8)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=2e-2, atol=2e-2)
+    assert int(c2.pos[0]) == 23
