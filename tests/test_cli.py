@@ -275,3 +275,29 @@ def test_koifish_resume_cli(tmp_path):
         rows = list(csv.DictReader(f))
     # resumed run starts near where the first left off, not from scratch
     assert float(rows[0]["loss"]) < loss_before + 1.0
+
+
+def test_koifish_gpt2_uint16_shards_cli(tmp_path):
+    """GPT2 training from uint16 (llm.c-style) shards end-to-end."""
+    from koifish_tpu.data import MAGIC_GPT2
+    seq = (np.arange(40000) % 64).astype(np.uint16)
+    write_shard(str(tmp_path / "g_train.bin"), seq, MAGIC_GPT2, 50257)
+    cfg = {
+        "model": {"arch": "GPT2", "vocab_size": 128,
+                  "parameter": {"Layer": 2,
+                                "transformer": {"Ctx": 32, "Embed": 64,
+                                                "Head": 4, "Ffn": 256}}},
+        "train": {"batch": 8, "learning-rate": 0.01, "warmup": 3,
+                  "dump-every": 5},
+        "datasets": {"train": {"glob": str(tmp_path / "g_train.bin")}},
+        "debug": {"most_iter": 20},
+        "seed": 42,
+    }
+    cfgp = str(tmp_path / "g.json")
+    with open(cfgp, "w") as f:
+        json.dump(cfg, f)
+    r = run_cli("koifish", cfgp, "--device", "cpu", "--out-dir", str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(tmp_path / "koifish_loss.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert float(rows[-1]["loss"]) < float(rows[0]["loss"]) * 0.7
