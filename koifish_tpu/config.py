@@ -106,6 +106,8 @@ class ModelCard:
     # rope long-context scaling (YaRN analog of reference rope.cu:129-243);
     # frozen tuple of (key, value) pairs — see rope_scaling_dict()
     rope_scaling: Optional[tuple] = None
+    # sliding-window attention (Mistral); 0 = full causal
+    window: int = 0
     # MoE (QWEN3_MOE)
     n_experts: int = 0
     n_experts_active: int = 0
@@ -194,6 +196,8 @@ class ModelCard:
         card.tie_embeddings = bool(hf_cfg.get("tie_word_embeddings", card.tie_embeddings))
         card.rope_theta = float(hf_cfg.get("rope_theta", card.rope_theta))
         card.norm_eps = float(hf_cfg.get("rms_norm_eps", hf_cfg.get("layer_norm_epsilon", card.norm_eps)))
+        if hf_cfg.get("sliding_window"):
+            card.window = int(hf_cfg["sliding_window"])
         if hf_cfg.get("rope_scaling"):
             card.rope_scaling = tuple(sorted(
                 (k, v) for k, v in hf_cfg["rope_scaling"].items()

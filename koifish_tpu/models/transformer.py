@@ -254,6 +254,7 @@ def model_forward(
     B, T = tokens.shape
     if positions is None:
         positions = jnp.arange(T, dtype=jnp.int32)
+    window = window or card.window
     x = gather_embed(params["wte"], tokens)
     if card.pos_embed == "learned":
         x = x + jnp.take(params["wpe"], positions, axis=0)

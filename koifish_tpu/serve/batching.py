@@ -114,7 +114,7 @@ class ContinuousBatcher:
                               fmt=self.kv_fmt)
             all_logits, lane = _jit_prefill(
                 self.card, self.params, jnp.asarray([ids], jnp.int32), lane,
-                return_all_logits=True)
+                return_all_logits=True, fresh=True)
             logits = all_logits[:, len(req.prompt) - 1]
             lane = dataclasses.replace(lane, pos=lane.pos - pad)
             self.pool = merge_lane(self.pool, lane, slot)

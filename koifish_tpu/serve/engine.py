@@ -37,12 +37,18 @@ def _rope_tables(card: ModelCard):
 
 def prefill(card: ModelCard, params: Params, tokens: jax.Array,
             cache: KVCache, return_all_logits: bool = False,
+            fresh: bool = False,
             ) -> Tuple[jax.Array, KVCache]:
     """Run a [B, T] prompt chunk, filling the cache. Returns last-position
     logits [B, V] (or [B, T, V] with ``return_all_logits`` — used by
     bucketed-prefill continuous batching to read the last *real* position
     of a right-padded prompt). Requires pos + T <= cache.size (no ring
-    wrap mid-prefill; the ring only rolls during decode)."""
+    wrap mid-prefill; the ring only rolls during decode).
+
+    ``fresh`` (static): the cache is empty (pos==0) — attention runs
+    in-chunk only (flash-kernel eligible, no masked full-cache read),
+    the TTFT fast path. Callers check ``int(cache.pos[0]) == 0``.
+    """
     B, T = tokens.shape
     start = cache.pos[0]                       # uniform-start batch
     positions = start + jnp.arange(T, dtype=jnp.int32)
@@ -64,8 +70,11 @@ def prefill(card: ModelCard, params: Params, tokens: jax.Array,
         h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
         q, k, v = qkv_project(card, lp, h, cos, sin, positions)
         cache = kvc.write_prefill(cache, li, k, v, start)
-        kc, vc, _ = kvc.read_layer(cache, li, extra=T)
-        a = causal_attention(q, kc, vc, mask=allowed, causal=False)
+        if fresh:   # empty cache: attention is purely in-chunk (flash path)
+            a = causal_attention(q, k, v, window=card.window)
+        else:
+            kc, vc, _ = kvc.read_layer(cache, li, extra=T)
+            a = causal_attention(q, kc, vc, mask=allowed, causal=False)
         a = _linear_l(a.reshape(B, T, -1), lp, "o")
         x = x + a
         h = _norm(card, x, lp["ln2"], lp.get("ln2_b"))
@@ -125,7 +134,8 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
     return logits, kvc.advance(cache, 1)
 
 
-_jit_prefill = jax.jit(prefill, static_argnames=("card", "return_all_logits"))
+_jit_prefill = jax.jit(prefill,
+                       static_argnames=("card", "return_all_logits", "fresh"))
 
 
 def prefill_chunked(card: ModelCard, params: Params, tokens: jax.Array,
@@ -181,7 +191,8 @@ def generate(
     rng = rng if rng is not None else jax.random.PRNGKey(sampler.seed)
     dparams = decode_params if decode_params is not None else params
 
-    logits, cache = _jit_prefill(card, params, prompt, cache)
+    fresh = bool(int(cache.pos[0]) == 0)
+    logits, cache = _jit_prefill(card, params, prompt, cache, fresh=fresh)
     rng, sub = jax.random.split(rng)
     tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                         sampler.top_p, sampler.min_p)
