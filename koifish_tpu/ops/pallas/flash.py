@@ -19,8 +19,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
-BQ = 256
-BK = 256
+# preferred tiles, shrunk per shape by _tiles(); 1024x1024 measured fastest
+# on v5e for the GPT2-124M train step (116.2K tok/s vs 105.7K @512/512 vs
+# 82K @256/256) — bigger KV tiles amortize the online-softmax rescale.
+# See docs/DESIGN.md.
+BQ = 1024
+BK = 1024
+
+
+def _tiles(t: int):
+    """Largest preferred tile sizes that divide the sequence length."""
+    bq = next((c for c in (BQ, 512, 256, 128) if t % c == 0), None)
+    bk = next((c for c in (BK, 512, 256, 128) if t % c == 0), None)
+    return bq, bk
 
 
 _INTERPRET = False  # set_interpret(True): run kernels in interpreter mode
@@ -44,10 +55,11 @@ def _platform_is_tpu() -> bool:
 def _eligible(q, k, window: int) -> bool:
     b, tq, hq, d = q.shape
     tk, hkv = k.shape[1], k.shape[2]
+    bq, bk = _tiles(tq)
     return (
         _platform_is_tpu()
         and tq == tk                      # self-attention training/prefill
-        and tq % BQ == 0
+        and bq is not None and bk is not None
         and d in (64, 128, 256)
         and hq % hkv == 0
         and window == 0
@@ -114,27 +126,28 @@ _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _flash_fwd_call(qh, kh, vh, *, scale: float):
     bh, t, d = qh.shape
-    grid = (bh, t // BQ, t // BK)
+    bq, bk = _tiles(t)
+    grid = (bh, t // bq, t // bk)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        functools.partial(_fwd_kernel, scale=scale, BQ=bq, BK=bk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BQ, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, BQ, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, 128), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, t, d), qh.dtype),
             jax.ShapeDtypeStruct((bh, t, 128), jnp.float32),  # lse (lane-bcast)
         ),
         scratch_shapes=[
-            pltpu.VMEM((BQ, d), jnp.float32),
-            pltpu.VMEM((BQ, 1), jnp.float32),
-            pltpu.VMEM((BQ, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -150,7 +163,7 @@ def _flash_fwd_call(qh, kh, vh, *, scale: float):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, o_acc, m_acc, l_acc,
-                *, scale):
+                *, scale, BQ, BK):
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -193,6 +206,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, o_acc, m_acc, l_acc,
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, scale: float):
     bh, t, d = qh.shape
+    BQ, BK = _tiles(t)
     # D_i = rowsum(dO ∘ O) — cheap elementwise, leave to XLA
     delta = jnp.sum(gh.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)                                     # [bh, t]
@@ -201,7 +215,7 @@ def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, scale: float):
 
     # --- dK/dV sweep: grid over kv tiles, q tiles sequential -------------
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale),
+        functools.partial(_bwd_dkv_kernel, scale=scale, BQ=BQ, BK=BK),
         grid=(bh, t // BK, t // BQ),
         in_specs=[
             pl.BlockSpec((1, BQ, d), lambda h, j, i: (h, i, 0), memory_space=pltpu.VMEM),
@@ -231,7 +245,7 @@ def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, scale: float):
 
     # --- dQ sweep: grid over q tiles, kv tiles sequential ----------------
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale),
+        functools.partial(_bwd_dq_kernel, scale=scale, BQ=BQ, BK=BK),
         grid=(bh, t // BQ, t // BK),
         in_specs=[
             pl.BlockSpec((1, BQ, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
@@ -254,7 +268,7 @@ def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, scale: float):
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale):
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, BQ, BK):
     j = pl.program_id(1)   # kv tile (parallel)
     i = pl.program_id(2)   # q tile (sequential)
 
@@ -291,7 +305,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                   dq_ref, dq_acc, *, scale):
+                   dq_ref, dq_acc, *, scale, BQ, BK):
     i = pl.program_id(1)   # q tile (parallel)
     j = pl.program_id(2)   # kv tile (sequential)
 
