@@ -40,7 +40,6 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
-    import jax.numpy as jnp
 
     from koifish_tpu.config import CLIParams
     from koifish_tpu.data import TokenDataset

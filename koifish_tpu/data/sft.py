@@ -11,7 +11,7 @@ offline masks per PreTokenizer.py build_sft_loss_labels). Accepts:
 from __future__ import annotations
 
 import json
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,6 @@ Design notes (TPU-first):
 """
 from __future__ import annotations
 
-import dataclasses
 import enum
 
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ argmin vs label, TokenSet.cpp:480-516, ``pangpi`` binary).
 from __future__ import annotations
 
 import functools
-from typing import Iterable, Optional, Tuple
+from typing import Iterable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,9 +15,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from koifish_tpu.dtypes import QFormat
-from koifish_tpu.quant.qtensor import NF4_VALUES, QTensor
+from koifish_tpu.quant.qtensor import NF3_VALUES, NF4_VALUES, QTensor
 
 NF4_LIST = list(NF4_VALUES)
+NF3_LIST = list(NF3_VALUES)
 
 
 def _ref_qmatmul(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
@@ -56,7 +57,8 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
     # (sublane-aligned); bn 256 when possible, else 128
     base_ok = (
         _platform_is_tpu()
-        and w.fmt in (QFormat.INT8, QFormat.INT4, QFormat.NF4)
+        and w.fmt in (QFormat.INT8, QFormat.INT4, QFormat.NF4,
+                      QFormat.INT3, QFormat.NF3)
         and w.zeros is None
         and k % 1024 == 0 and n % 128 == 0
         and w.group == 128
@@ -124,11 +126,13 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, fmt, group, k):
         lo = c32 & 0x0F
         hi = (c32 >> 4) & 0x0F
         raw = jnp.stack([lo, hi], axis=1).reshape(k, -1)
-        if fmt is QFormat.NF4:
-            book = [float(v) for v in NF4_LIST]
+        if fmt in (QFormat.NF4, QFormat.NF3):
+            book = NF4_LIST if fmt is QFormat.NF4 else NF3_LIST
             wf = jnp.full(raw.shape, book[0], jnp.float32)
-            for i in range(1, 16):
+            for i in range(1, len(book)):
                 wf = jnp.where(raw == i, book[i], wf)
+        elif fmt is QFormat.INT3:
+            wf = raw.astype(jnp.float32) - 4.0
         else:
             wf = raw.astype(jnp.float32) - 8.0
     s = s_ref[:].astype(jnp.float32)
@@ -190,13 +194,15 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, fmt, group, bk):
         lo = c32 & 0x0F
         hi = (c32 >> 4) & 0x0F
         raw = jnp.stack([lo, hi], axis=1).reshape(bk, -1)
-        if fmt is QFormat.NF4:
+        if fmt in (QFormat.NF4, QFormat.NF3):
             # codebook lookup as a select chain — Mosaic kernels can't
             # capture external constants and vector gathers are slow
-            book = [float(x) for x in NF4_LIST]
+            book = NF4_LIST if fmt is QFormat.NF4 else NF3_LIST
             wf = jnp.full(raw.shape, book[0], jnp.float32)
-            for i in range(1, 16):
+            for i in range(1, len(book)):
                 wf = jnp.where(raw == i, book[i], wf)
+        elif fmt is QFormat.INT3:   # nibble-stored, biased by 4
+            wf = raw.astype(jnp.float32) - 4.0
         else:  # INT4 biased by 8
             wf = raw.astype(jnp.float32) - 8.0
     # apply per-group scales: [bk/group, bn] -> broadcast over group rows

@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 
 from koifish_tpu.config import ModelCard, QuantCard
 from koifish_tpu.dtypes import QFormat

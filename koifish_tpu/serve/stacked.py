@@ -14,8 +14,7 @@ fall back to the unrolled `serve.engine.decode_step`.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ kernels needed (the reference's CU_PSO_2D etc. are elementwise).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

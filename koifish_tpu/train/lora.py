@@ -16,7 +16,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from koifish_tpu.config import ModelCard, SFTCard
+from koifish_tpu.config import SFTCard
 from koifish_tpu.quant.qtensor import QTensor
 
 _KEY_TO_TARGET = {"q": "wq", "k": "wk", "v": "wv", "o": "wo",

@@ -23,7 +23,8 @@ def interpret_mode():
     pmm.set_interpret(False)
 
 
-@pytest.mark.parametrize("fmt", [QFormat.INT8, QFormat.INT4, QFormat.NF4])
+@pytest.mark.parametrize("fmt", [QFormat.INT8, QFormat.INT4, QFormat.NF4,
+                                 QFormat.INT3, QFormat.NF3])
 def test_qmm_kernel_matches_ref(fmt):
     key = jax.random.PRNGKey(0)
     M, K, N = 16, 1024, 256
@@ -108,7 +109,8 @@ def test_decode_attention_int8_kernel():
         pda.set_interpret(False)
 
 
-@pytest.mark.parametrize("fmt", [QFormat.INT8, QFormat.INT4, QFormat.NF4])
+@pytest.mark.parametrize("fmt", [QFormat.INT8, QFormat.INT4, QFormat.NF4,
+                                 QFormat.NF3])
 def test_qmv_kernel_matches_ref(fmt):
     """Decode GEMV path (m<=8, full-K per N tile)."""
     key = jax.random.PRNGKey(0)
