@@ -138,3 +138,25 @@ def test_fuyou_swarm():
     assert np.isfinite(fy.scores).sum() >= 3
     assert losses[-1] < losses[0]          # swarm still learns
     assert fy.best in range(cfg.branches)
+
+
+def test_bitnet_ternary_qat_trains():
+    """BITNET arch = ternary fake-quant QAT on every linear (the
+    reference's Bitnet subclass trains with T_SIGN ternary weights)."""
+    card = ModelCard.from_arch("BITNET", vocab_size=128, n_layer=2, n_embd=64,
+                               n_head=4, n_kv_head=2, head_dim=16, n_ffn=128,
+                               n_ctx=32, max_pos=64)
+    tcard = TrainCard(batch=8, lr=0.01, warmup=3, dump_every=100)
+    qcard = QuantCard.from_json({"self_attn": {"bits": 2}, "mlp": {"bits": 2},
+                                 "group_size": 32})
+    from koifish_tpu.dtypes import QFormat
+    assert qcard.rules[0].fmt == QFormat.TERNARY
+    state = init_train_state(card, tcard)
+    state, losses = _train(card, tcard, state, 20, qcard=qcard)
+    assert losses[-1] < losses[0] * 0.8, losses
+    # export: the QAT'd weights survive ternary quantize-at-load
+    qp = quantize_params(state.params, qcard)
+    assert qp["layers"][0]["q"].fmt == QFormat.TERNARY
+    t = pattern_batch(jax.random.PRNGKey(3))["tokens"][0]
+    lq = model_forward(card, qp, t[:, :-1])
+    assert bool(jnp.isfinite(lq).all())
