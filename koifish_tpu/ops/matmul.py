@@ -47,6 +47,12 @@ def qmatmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
         from koifish_tpu.ops.pallas import matmul as pmm
         y = pmm.qmatmul_pallas_or_ref(x, w, out_dtype)
         return y
+    if not isinstance(w, QTensor):
+        # int8-forward training (FP8-GEMM analog; TrainCard.int8_matmul)
+        from koifish_tpu.ops.int8_train import int8_matmul, train_int8_enabled
+        if train_int8_enabled() and w.ndim == 2 and w.shape[0] >= 256 \
+                and w.shape[1] >= 256:
+            return int8_matmul(x, w).astype(out_dtype)
     wd = _dequant(w, x.dtype)
     return jnp.dot(x, wd, preferred_element_type=jnp.float32).astype(out_dtype)
 

@@ -78,6 +78,9 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
     trainable: same-structure tree of bool — frozen leaves get zero grads
                (SFT methods: lora/bitfit/only_attention/only_head)
     """
+    if tcard.int8_matmul:
+        from koifish_tpu.ops.int8_train import set_train_int8
+        set_train_int8(True)   # ambient, consumed at trace time
 
     def micro_grads(params, tokens, loss_mask):
         # grad only w.r.t. float leaves — integer leaves (packed QTensor

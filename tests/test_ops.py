@@ -43,3 +43,51 @@ def test_fused_ce_grads_match():
     for a, b, n in zip(gd, gf, ["dh", "dw"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=5e-3), n
+
+
+def test_int8_matmul_fwd_close_bwd_exact_shape():
+    from koifish_tpu.ops.int8_train import int8_matmul
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (32, 256), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (256, 512), jnp.bfloat16) * 0.05
+    ref = jnp.dot(x.astype(jnp.float32), w.astype(jnp.float32))
+    out = int8_matmul(x, w).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+    # backward is full-precision bf16
+    g = jax.grad(lambda x, w: (int8_matmul(x, w).astype(jnp.float32) ** 2
+                               ).sum(), argnums=(0, 1))(x, w)
+    gr = jax.grad(lambda x, w: (jnp.dot(x, w).astype(jnp.float32) ** 2
+                                ).sum(), argnums=(0, 1))(x, w)
+    for a, b in zip(g, gr):
+        rel = float(jnp.linalg.norm(a.astype(jnp.float32) - b.astype(jnp.float32))
+                    / (jnp.linalg.norm(b.astype(jnp.float32)) + 1e-9))
+        assert rel < 0.1, rel
+
+
+def test_int8_train_step_converges():
+    """int8-forward training learns the +1 pattern like bf16 does."""
+    import numpy as np
+    from koifish_tpu.config import ModelCard, TrainCard
+    from koifish_tpu.train.trainer import init_train_state, make_train_step
+    from koifish_tpu.ops.int8_train import set_train_int8
+    card = ModelCard.from_arch("QWEN3", vocab_size=128, n_layer=2, n_embd=256,
+                               n_head=4, n_kv_head=2, head_dim=64, n_ffn=256,
+                               n_ctx=32, max_pos=64)
+    tcard = TrainCard(batch=8, lr=0.01, warmup=3, dump_every=100,
+                      int8_matmul=True)
+    try:
+        state = init_train_state(card, tcard)
+        step = make_train_step(card, tcard, total_steps=20)
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for _ in range(15):
+            key, k = jax.random.split(key)
+            s = jax.random.randint(k, (8, 1), 0, 64)
+            batch = {"tokens": ((s + jnp.arange(33)[None]) % 64)[None
+                     ].astype(jnp.int32)}
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.6, losses
+    finally:
+        set_train_int8(False)
