@@ -34,6 +34,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--think", action="store_true", help="enable thinking mode")
     ap.add_argument("--interactive", action="store_true",
                     help="multi-turn REPL on stdin (cache persists across turns)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel ways (weights + KV heads sharded)")
     return ap
 
 
@@ -82,6 +84,14 @@ def main(argv=None) -> int:
 
     from koifish_tpu.serve import cache_for
     from koifish_tpu.serve.stacked import stack_layers
+
+    mesh = None
+    if args.tp > 1:
+        from koifish_tpu.parallel.mesh import make_mesh
+        from koifish_tpu.parallel import shard_params
+        mesh = make_mesh({"tp": args.tp})
+        params = shard_params(params, mesh)
+        print(f"[bubble] tensor-parallel over {args.tp} devices")
     dparams = stack_layers(params)   # layer-scan decode when homogeneous
 
     rows = []
@@ -95,6 +105,9 @@ def main(argv=None) -> int:
         if cache is None:
             size = max(args.ctx, len(ids) + args.max_new)
             cache = cache_for(card, 1, size, fmt=kv_fmt)
+            if mesh is not None:
+                from koifish_tpu.parallel.sharding import shard_cache
+                cache = shard_cache(cache, mesh)
         t0 = time.time()
         toks, cache = generate(card, params, jnp.asarray([ids], jnp.int32),
                                cache, sampler, max_new_tokens=args.max_new,

@@ -121,6 +121,27 @@ def _fit_spec(shape, spec: P, mesh: Mesh) -> P:
     return P(*fixed)
 
 
+def shard_cache(cache, mesh: Mesh, tp: str = "tp", dp: Optional[str] = None):
+    """Distribute a KVCache: KV heads over ``tp`` (matches column-parallel
+    k/v projections, so cache writes and decode attention stay local to
+    the head shard), optional batch over ``dp``. [L, B, H, S, D] layout."""
+    import dataclasses as _d
+
+    def put(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, _fit_spec(x.shape, spec,
+                                                               mesh)))
+
+    kv = P(None, dp, tp, None, None)
+    sc = P(None, dp, tp, None)
+    return _d.replace(
+        cache,
+        k=put(cache.k, kv), v=put(cache.v, kv),
+        k_scale=put(cache.k_scale, sc), v_scale=put(cache.v_scale, sc),
+        pos=put(cache.pos, P(dp)))
+
+
 def constrain_activations(x, mesh: Mesh, dp: str = "dp"):
     """Activation constraint [B, T, E] → batch on dp (used inside sharded
     steps to anchor XLA's propagation)."""

@@ -301,3 +301,20 @@ def test_koifish_gpt2_uint16_shards_cli(tmp_path):
     with open(tmp_path / "koifish_loss.csv") as f:
         rows = list(csv.DictReader(f))
     assert float(rows[-1]["loss"]) < float(rows[0]["loss"]) * 0.7
+
+
+def test_bubble_tp_cli(tmp_path, tiny_hf):
+    """bubble --tp 2 on the virtual CPU mesh (TP-sharded decode)."""
+    hf_dir, card = tiny_hf
+    import subprocess
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "koifish_tpu.cli.bubble", "--hf", hf_dir,
+         "--prompts", "hello", "--max-new", "6", "--temperature", "0",
+         "--ctx", "128", "--device", "cpu", "--tp", "2",
+         "--csv", str(tmp_path / "chat.csv")],
+        capture_output=True, text=True, timeout=240, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tensor-parallel over 2" in r.stdout
+    assert "tk/s" in r.stdout

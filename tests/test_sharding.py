@@ -105,3 +105,53 @@ def test_ring_attention_matches_full():
     out = fn(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_tp_decode_matches_single():
+    """Tensor-parallel decode (weights column/row-parallel, KV cache
+    head-sharded) == single-device decode — BASELINE configs 4/5
+    groundwork (multi-chip Qwen3 serving)."""
+    import jax.numpy as jnp
+    from koifish_tpu.config import QuantCard
+    from koifish_tpu.parallel import shard_params
+    from koifish_tpu.parallel.sharding import shard_cache
+    from koifish_tpu.quant.apply import quantize_params
+    from koifish_tpu.serve import cache_for, prefill, decode_step
+
+    card = tiny_card()   # n_kv_head=4 — divisible by tp=4
+    params = init_params(card, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 512)
+
+    # single-device reference
+    c0 = cache_for(card, 2, 32)
+    l0, c0 = prefill(card, params, tokens, c0)
+    outs0 = [l0]
+    for t in range(3):
+        l0, c0 = decode_step(card, params, jnp.full((2,), t + 7, jnp.int32), c0)
+        outs0.append(l0)
+
+    mesh = make_mesh({"tp": 4})
+    sp = shard_params(params, mesh)
+    c1 = shard_cache(cache_for(card, 2, 32), mesh)
+    jit_prefill = jax.jit(prefill, static_argnames=("card",))
+    jit_decode = jax.jit(decode_step, static_argnames=("card",))
+    l1, c1 = jit_prefill(card, sp, tokens, c1)
+    outs1 = [l1]
+    for t in range(3):
+        l1, c1 = jit_decode(card, sp, jnp.full((2,), t + 7, jnp.int32), c1)
+        outs1.append(l1)
+    for a, b in zip(outs0, outs1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)
+
+    # quantized variant: int4 weights TP-sharded (QTensor leaves shard too)
+    qc = QuantCard.from_json({"self_attn": {"bits": 4}, "mlp": {"bits": 4},
+                              "group_size": 16})
+    qp = quantize_params(params, qc)
+    c2 = cache_for(card, 2, 32)
+    l2, _ = jit_prefill(card, qp, tokens, c2)
+    sqp = shard_params(qp, mesh)
+    c3 = shard_cache(cache_for(card, 2, 32), mesh)
+    l3, _ = jit_prefill(card, sqp, tokens, c3)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l3),
+                               rtol=2e-2, atol=2e-2)
