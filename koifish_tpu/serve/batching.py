@@ -27,7 +27,8 @@ from koifish_tpu.config import ModelCard, SamplerCard
 from koifish_tpu.dtypes import QFormat
 from koifish_tpu.ops.sampling import sample_logits
 from koifish_tpu.serve import kvcache as kvc
-from koifish_tpu.serve.engine import _jit_decode_sample, _jit_prefill
+from koifish_tpu.serve.engine import (_jit_decode_sample,
+    _jit_decode_sample_k, _jit_prefill)
 from koifish_tpu.serve.kvcache import KVCache, init_cache
 
 
@@ -75,10 +76,12 @@ class ContinuousBatcher:
                  cache_size: int = 1024, kv_fmt: QFormat = QFormat.BF16,
                  sampler: Optional[SamplerCard] = None,
                  rng: Optional[jax.Array] = None,
-                 decode_params=None):
+                 decode_params=None, decode_chunk: int = 1):
         self.card, self.params = card, params
         self.decode_params = decode_params if decode_params is not None \
             else params
+        # tokens generated per host round-trip (eos checked every chunk)
+        self.decode_chunk = max(1, decode_chunk)
         self.n_slots = n_slots
         self.cache_size = cache_size
         self.kv_fmt = kv_fmt
@@ -148,19 +151,31 @@ class ContinuousBatcher:
         if not active:
             return bool(self.waiting)
         t0 = time.perf_counter()
-        tok, self.pool, self.rng = _jit_decode_sample(
-            self.card, self.decode_params, self.cur_tok, self.pool, self.rng,
-            self.sampler)
+        if self.decode_chunk > 1:
+            toks_k, self.pool, self.rng = _jit_decode_sample_k(
+                self.card, self.decode_params, self.cur_tok, self.pool,
+                self.rng, self.sampler, self.decode_chunk)
+            steps = toks_k.tolist()                 # [k, B] — one sync
+            self.cur_tok = toks_k[-1]
+        else:
+            tok, self.pool, self.rng = _jit_decode_sample(
+                self.card, self.decode_params, self.cur_tok, self.pool,
+                self.rng, self.sampler)
+            steps = [tok.tolist()]
+            self.cur_tok = tok
         dt = time.perf_counter() - t0
-        self.cur_tok = tok
-        toks = tok.tolist()
         for slot in active:
             req = self.slots[slot]
-            req.decode_s += dt
-            req.tokens.append(int(toks[slot]))
-            if int(toks[slot]) == req.eos_id or \
-                    len(req.tokens) >= req.max_new:
-                self._finish(slot)
+            req.decode_s += dt / len(steps) * min(
+                len(steps), req.max_new - len(req.tokens)) \
+                if req.max_new > len(req.tokens) else 0.0
+            for row in steps:
+                if req.done:
+                    break
+                req.tokens.append(int(row[slot]))
+                if int(row[slot]) == req.eos_id or \
+                        len(req.tokens) >= req.max_new:
+                    self._finish(slot)
         return True
 
     def run(self) -> Dict[int, Request]:

@@ -173,6 +173,26 @@ def _jit_decode_sample(card, params, token, cache, rng, sampler):
     return nxt, cache, rng
 
 
+@functools.partial(jax.jit, static_argnames=("card", "sampler", "k"),
+                   donate_argnames=("cache",))
+def _jit_decode_sample_k(card, params, token, cache, rng, sampler, k):
+    """K decode+sample steps in one executable (lax.scan) — one host
+    round-trip per K tokens instead of per token. On tunneled runtimes the
+    per-step host fetch (~30 ms RTT) dominates the 121-tok/s serving agg;
+    this is the fix (eos is checked on the host every K tokens)."""
+    def body(carry, _):
+        tok, cache, rng = carry
+        logits, cache = decode_step(card, params, tok, cache)
+        rng, sub = jax.random.split(rng)
+        tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
+                            sampler.top_p, sampler.min_p)
+        return (tok, cache, rng), tok
+
+    (token, cache, rng), toks = jax.lax.scan(
+        body, (token, cache, rng), None, length=k)
+    return toks, cache, rng          # toks [k, B]
+
+
 def generate(
     card: ModelCard,
     params: Params,

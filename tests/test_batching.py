@@ -76,3 +76,20 @@ def test_batcher_eos_frees_slot():
     assert results[0].tokens[-1] == eos
     assert len(results[0].tokens) <= 3
     assert len(results[1].tokens) == 4
+
+
+def test_batcher_decode_chunk_matches_single():
+    """decode_chunk>1 (multi-token host round-trips) produces the same
+    greedy tokens as chunk=1."""
+    card = tiny_card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    prompts = [[5, 6, 7], [9, 10, 11, 12]]
+    outs = []
+    for chunk in (1, 4):
+        eng = ContinuousBatcher(card, params, n_slots=2, cache_size=64,
+                                sampler=SamplerCard(temperature=0.0),
+                                decode_chunk=chunk)
+        for i, p in enumerate(prompts):
+            eng.submit(Request(rid=i, prompt=list(p), max_new=9))
+        outs.append({k: r.tokens for k, r in eng.run().items()})
+    assert outs[0] == outs[1]

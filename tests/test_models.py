@@ -234,3 +234,24 @@ def test_prefill_chunked_matches_single():
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                rtol=2e-2, atol=2e-2)
     assert int(c2.pos[0]) == 23
+
+
+def test_hotpicker_context_sparsity():
+    """HotPicker: slicing FFNs to hot neurons keeps outputs close on the
+    calibration distribution (HotPicker/CS_Picker analog)."""
+    from koifish_tpu.models.hotpick import ffn_activation_energy, pick_hot
+    card = tiny_card(n_ffn=512)
+    params = init_params(card, jax.random.PRNGKey(0))
+    calib = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                               card.vocab_size)
+    energies = ffn_activation_energy(card, params, calib)
+    assert len(energies) == card.n_layer and energies[0].shape == (512,)
+    new_card, new_params = pick_hot(card, params, energies, keep=0.5)
+    assert new_card.n_ffn == 256
+    assert new_params["layers"][0]["gate"].shape == (card.n_embd, 256)
+    lf = model_forward(card, params, calib)
+    lh = model_forward(new_card, new_params, calib)
+    pf = jax.nn.softmax(lf, -1)
+    ph = jax.nn.softmax(lh, -1)
+    # hot half retains most of the distribution (random init -> loose)
+    assert float(jnp.abs(pf - ph).max()) < 0.2
