@@ -255,3 +255,42 @@ def test_hotpicker_context_sparsity():
     ph = jax.nn.softmax(lh, -1)
     # hot half retains most of the distribution (random init -> loose)
     assert float(jnp.abs(pf - ph).max()) < 0.2
+
+
+def test_mla_latent_cache_matches_standard():
+    """Absorbed latent-cache MLA decode == the standard materialized-KV
+    path (DeepSeek serving memory optimization: cache rkv+dr per token
+    instead of H*(dn+dr+dv))."""
+    from koifish_tpu.serve import cache_for, prefill, decode_step
+    from koifish_tpu.serve.mla_cache import (
+        mla_cache_for, mla_prefill, mla_decode_step)
+    card = ModelCard.from_arch(
+        "DEEPSEEK", vocab_size=256, n_layer=2, n_embd=64, n_head=4,
+        n_kv_head=4, n_ffn=128, n_ctx=32, max_pos=64)
+    card.attn = "mla"
+    card.q_lora_rank = 24
+    card.kv_lora_rank = 32
+    card.qk_nope_head_dim = 16
+    card.qk_rope_head_dim = 8
+    card.v_head_dim = 16
+    card.head_dim = 24
+    params = init_params(card, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 256)
+
+    c_std = cache_for(card, 2, 32)
+    l_std, c_std = prefill(card, params, tokens, c_std)
+    c_lat = mla_cache_for(card, 2, 32)
+    l_lat, c_lat = mla_prefill(card, params, tokens, c_lat)
+    np.testing.assert_allclose(np.asarray(l_std), np.asarray(l_lat),
+                               rtol=2e-2, atol=2e-2)
+    # latent cache really is smaller per token
+    per_tok_lat = c_lat.c_kv.shape[-1] + c_lat.k_rope.shape[-1]
+    per_tok_std = card.n_kv_head * (card.head_dim + card.v_head_dim)
+    assert per_tok_lat < per_tok_std
+
+    for t in range(3):
+        tok = jnp.full((2,), 9 + t, jnp.int32)
+        l_std, c_std = decode_step(card, params, tok, c_std)
+        l_lat, c_lat = mla_decode_step(card, params, tok, c_lat)
+        np.testing.assert_allclose(np.asarray(l_std), np.asarray(l_lat),
+                                   rtol=2e-2, atol=2e-2)
