@@ -35,7 +35,7 @@ def qwen3_0_6b() -> ModelCard:
         n_kv_head=8, head_dim=128, n_ffn=3072, n_ctx=1024, max_pos=32768)
 
 
-def bench_decode(args):
+def bench_decode(args, emit=True):
     """Decode throughput: Qwen3-0.6B INT4 weights + INT8 KV, batched decode.
     tokens/sec/chip + p50 TTFT (BASELINE.json serving metrics)."""
     import jax.numpy as jnp
@@ -85,29 +85,20 @@ def bench_decode(args):
     int(tok[0])  # true sync (host fetch)
     dt = (time.perf_counter() - t0) / N
     tps = B / dt
-    print(json.dumps({
+    result = {
         "metric": f"qwen3-0.6b INT4+INT8KV decode (B={B}, S={S})",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(tps / 20_000.0, 3),  # ref train tok/s as anchor
         "ttft_warm_s": round(ttft_warm, 3),
         "step_ms": round(dt * 1e3, 2),
-    }))
+    }
+    if emit:
+        print(json.dumps(result))
+    return result
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="train", choices=["train", "decode"])
-    ap.add_argument("--model", default="gpt2-124m")
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--steps", type=int, default=8)
-    ap.add_argument("--ctx", type=int, default=1024)
-    args = ap.parse_args()
-    if args.mode == "decode":
-        if args.batch == 16:   # decode default: best measured config
-            args.batch = 32
-        return bench_decode(args)
-
+def bench_train(args, emit=True):
     card = gpt2_124m() if args.model == "gpt2-124m" else qwen3_0_6b()
     # 124M fits without remat on one v5e chip — measured fastest config
     remat = args.model != "gpt2-124m"
@@ -136,13 +127,50 @@ def main():
     assert 0.0 < final_loss < 100.0
 
     toks_per_sec = args.batch * args.ctx / dt
-    print(json.dumps({
+    result = {
         "metric": f"{args.model} pretrain throughput (1 chip, B={args.batch}, "
                   f"ctx={args.ctx}, bf16{', remat' if remat else ''})",
         "value": round(toks_per_sec, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(toks_per_sec / BASELINE_TOKS, 3),
-    }))
+    }
+    if emit:
+        print(json.dumps(result))
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="all", choices=["all", "train", "decode"])
+    ap.add_argument("--model", default="gpt2-124m")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--ctx", type=int, default=1024)
+    args = ap.parse_args()
+    if args.mode == "decode":
+        if args.batch == 16:   # decode default: best measured config
+            args.batch = 32
+        bench_decode(args)
+        return
+    if args.mode == "train":
+        bench_train(args)
+        return
+
+    # default: ONE JSON line carrying both the train headline and the
+    # decode/TTFT entries (SURVEY §6: the rebuild's own decode baselines)
+    train = bench_train(args, emit=False)
+    import copy
+    dargs = copy.copy(args)
+    dargs.batch, dargs.steps = 32, 64
+    try:
+        decode = bench_decode(dargs, emit=False)
+        train["decode_tok_s"] = decode["value"]
+        train["decode_metric"] = decode["metric"]
+        train["decode_step_ms"] = decode["step_ms"]
+        train["ttft_warm_s"] = decode["ttft_warm_s"]
+    except Exception as e:  # decode failure must not hide the train number
+        train["decode_error"] = repr(e)[:200]
+    print(json.dumps(train))
 
 
 if __name__ == "__main__":

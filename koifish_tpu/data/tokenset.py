@@ -106,9 +106,15 @@ class TokenDataset:
             for off in range(0, len(toks) - need, seq_len):
                 windows.append((si, off))
         rng = np.random.default_rng(seed)
+        group = batch * accum
+        dropped = len(windows) % group
+        if dropped:   # log what we drop (matches reference behavior, but loud)
+            import logging
+            logging.getLogger("koifish_tpu").info(
+                "TokenDataset.batches: dropping %d trailing windows per epoch "
+                "(%d windows %% group %d)", dropped, len(windows), group)
         for _ in range(epochs):
             order = rng.permutation(len(windows))
-            group = batch * accum
             for i in range(0, len(order) - group + 1, group):
                 sel = order[i: i + group]
                 tok = np.stack([

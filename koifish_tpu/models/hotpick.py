@@ -60,9 +60,31 @@ def ffn_activation_energy(card: ModelCard, params: Params,
 
 
 def _slice_cols(w, idx):
+    """Slice the out axis (axis 1). QTensors pack along axis 0 (in), so the
+    out axis of codes/scales/zeros slices directly — no dequantization."""
     if isinstance(w, QTensor):
-        return None   # packed weights: dequantize-then-slice not supported yet
+        import dataclasses
+        return dataclasses.replace(
+            w,
+            codes=jnp.take(w.codes, idx, axis=1),
+            scales=jnp.take(w.scales, idx, axis=1),
+            zeros=None if w.zeros is None else jnp.take(w.zeros, idx, axis=1),
+            shape=(w.shape[0], int(idx.shape[0])))
     return jnp.take(w, idx, axis=1)
+
+
+def _slice_rows(w, idx):
+    """Slice the in axis (axis 0). For QTensors the in axis is packed and
+    grouped, and hot indices aren't group-aligned — dequantize, slice,
+    requantize in the same format (one-shot at pick time, same cost class
+    as quantize-at-load)."""
+    if isinstance(w, QTensor):
+        from koifish_tpu.quant.rtn import quantize
+        dense = w.dequantize(jnp.float32)[idx]
+        return quantize(dense, w.fmt, group=min(w.group, dense.shape[0]),
+                        symmetric=w.zeros is None,
+                        scale_dtype=w.scales.dtype)
+    return jnp.take(w, idx, axis=0)
 
 
 def pick_hot(card: ModelCard, params: Params, energies: List[jax.Array],
@@ -78,14 +100,14 @@ def pick_hot(card: ModelCard, params: Params, energies: List[jax.Array],
         nlp = dict(lp)
         idx = jnp.argsort(e)[::-1][:k]
         idx = jnp.sort(idx)
-        if "gate" in lp and not isinstance(lp["gate"], QTensor):
+        if "gate" in lp:
             nlp["gate"] = _slice_cols(lp["gate"], idx)
             nlp["up"] = _slice_cols(lp["up"], idx)
-            nlp["down"] = jnp.take(lp["down"], idx, axis=0)
-        elif "fc" in lp and not isinstance(lp["fc"], QTensor):
+            nlp["down"] = _slice_rows(lp["down"], idx)
+        elif "fc" in lp:
             nlp["fc"] = _slice_cols(lp["fc"], idx)
             nlp["fc_b"] = jnp.take(lp["fc_b"], idx)
-            nlp["proj"] = jnp.take(lp["proj"], idx, axis=0)
+            nlp["proj"] = _slice_rows(lp["proj"], idx)
         new_layers.append(nlp)
     new_params = dict(params)
     new_params["layers"] = new_layers

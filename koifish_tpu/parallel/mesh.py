@@ -23,8 +23,10 @@ def mesh_shape_for(n_devices: int, tp: Optional[int] = None) -> Dict[str, int]:
     """Pick a (dp, tp) factorization. Defaults: tp = min(n, 4) when it
     divides n (v5e ICI-friendly), rest data-parallel."""
     if tp is None:
+        # cap tp at 4 so n>=8 also gets dp>=2 — exercises DP gradient psum
+        # and FSDP resharding, not just TP (a dp=1 mesh is degenerate)
         tp = 1
-        for cand in (8, 4, 2):
+        for cand in (4, 2):
             if n_devices % cand == 0 and cand <= n_devices:
                 tp = cand
                 break

@@ -63,15 +63,30 @@ def _is_float(p) -> bool:
     return jnp.issubdtype(p.dtype, jnp.floating)
 
 
+def _muon_leaf(p, optimizer: str) -> bool:
+    """Leaves Muon orthogonalizes (2D weight matrices); others fall back to
+    AdamW. Must match the dispatch in apply_updates."""
+    return (optimizer == "muon" and getattr(p, "ndim", 0) == 2
+            and p.shape[0] >= 64 and p.shape[1] >= 64)
+
+
 def init_opt_state(params, optimizer: str = "adamw") -> OptState:
     """Moments for float leaves only (integer leaves — e.g. packed QTensor
-    codes under gama training — are frozen, stored as size-0 stubs)."""
+    codes under gama training — are frozen, stored as size-0 stubs).
+    Muon-handled leaves carry no second moment (the reference's PIPE_Muon
+    keeps only momentum, Optimizer.cu:487-580) — a size-0 stub instead of
+    a dead params-sized f32 buffer."""
     def zeros(p):
         if not _is_float(p):
             return jnp.zeros((0,), jnp.float32)
         return jnp.zeros(p.shape, jnp.float32)
+
+    def zeros_v(p):
+        if not _is_float(p) or _muon_leaf(p, optimizer):
+            return jnp.zeros((0,), jnp.float32)
+        return jnp.zeros(p.shape, jnp.float32)
     m = _tmap(zeros, params)
-    v = _tmap(zeros, params) if optimizer in ("adamw", "muon") else None
+    v = _tmap(zeros_v, params)
     return OptState(m=m, v=v, step=jnp.zeros((), jnp.int32),
                     spikes=jnp.zeros((), jnp.int32))
 
@@ -129,8 +144,11 @@ def muon_update(p, g, mom, *, lr, momentum, weight_decay):
     u = newton_schulz(momentum * mom + g)  # nesterov-style lookahead
     # RMS-match: scale so the update's RMS is comparable to AdamW's
     u = u * (0.2 * (max(p.shape[0], p.shape[-1]) ** 0.5))
+    # spike guard (T_spike, Pipe.hpp:42) — same protection as the AdamW pipe
+    spiked = jnp.abs(u) > T_SPIKE
+    u = jnp.clip(u, -T_SPIKE, T_SPIKE)
     new_p = (pf - lr * (u + weight_decay * pf)).astype(p.dtype)
-    return new_p, mom
+    return new_p, mom, jnp.sum(spiked, dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -160,12 +178,13 @@ def apply_updates(params, grads, opt: OptState, *, optimizer: str, lr,
             new_m.append(m)
             new_v.append(v)
             continue
-        use_muon = optimizer == "muon" and p.ndim == 2 and p.shape[0] >= 64 \
-            and p.shape[1] >= 64
+        use_muon = _muon_leaf(p, optimizer)
         decay = p.ndim >= 2  # no weight decay on norms/biases
         if use_muon:
-            np_, nm = muon_update(p, g, m, lr=lr, momentum=muon_momentum,
-                                  weight_decay=weight_decay if decay else 0.0)
+            np_, nm, sp = muon_update(
+                p, g, m, lr=lr, momentum=muon_momentum,
+                weight_decay=weight_decay if decay else 0.0)
+            spikes = spikes + sp
             nv = v
         else:
             np_, nm, nv, sp = adamw_update(

@@ -38,6 +38,28 @@ def _train(card, tcard, state, steps, qcard=None, trainable=None):
     return state, losses
 
 
+def test_muon_trains_with_stub_v():
+    """Muon: loss drops; Muon-handled 2D-matrix leaves carry size-0
+    second-moment stubs (no dead params-sized f32 buffer) while
+    AdamW-fallback leaves keep real v buffers."""
+    from koifish_tpu.train.optimizer import _muon_leaf, init_opt_state
+    card = tiny_card()
+    tcard = TrainCard(batch=8, lr=1e-2, warmup=0, optimizer="muon")
+    state = init_train_state(card, tcard)
+    # structural check: v is a stub exactly on muon leaves
+    p_leaves = jax.tree_util.tree_leaves(state.params)
+    v_leaves = jax.tree_util.tree_leaves(state.opt.v)
+    assert len(p_leaves) == len(v_leaves)
+    n_stub = 0
+    for p, v in zip(p_leaves, v_leaves):
+        if _muon_leaf(p, "muon"):
+            assert v.size == 0
+            n_stub += 1
+    assert n_stub > 0   # qwen3 tiny model has >=1 muon-eligible matrix
+    state, losses = _train(card, tcard, state, 8)
+    assert losses[-1] < losses[0]
+
+
 def test_ste_fake_quant_grads():
     w = jax.random.normal(jax.random.PRNGKey(0), (128, 64))
     g = jax.grad(lambda w: ste_fake_quant(w, QFormat.INT4).sum())(w)

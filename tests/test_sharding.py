@@ -19,7 +19,7 @@ def tiny_card():
 
 
 def test_mesh_shape():
-    assert mesh_shape_for(8) == {"dp": 1, "tp": 8}
+    assert mesh_shape_for(8) == {"dp": 2, "tp": 4}  # dp>=2: exercises grad psum
     assert mesh_shape_for(8, tp=4) == {"dp": 2, "tp": 4}
     assert mesh_shape_for(1) == {"dp": 1, "tp": 1}
 
