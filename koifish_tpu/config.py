@@ -299,7 +299,8 @@ class TrainCard:
     muon_lr_ratio: float = 1.0
     muon_momentum: float = 0.95
     remat: bool = True               # jax.checkpoint (reference "Rematerialisation")
-    int8_matmul: bool = False        # int8 fwd matmuls (FP8-GEMM analog)
+    int8_matmul: bool = False        # int8 fwd+dgrad matmuls (FP8-GEMM analog)
+    int8_wgrad: bool = False         # experimental: int8 wgrad too
     dump_every: int = 10
     eval_every: int = 100
     save_every: int = 0

@@ -80,7 +80,7 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
     """
     if tcard.int8_matmul:
         from koifish_tpu.ops.int8_train import set_train_int8
-        set_train_int8(True)   # ambient, consumed at trace time
+        set_train_int8(True, wgrad=tcard.int8_wgrad)  # ambient, trace-time
 
     def micro_grads(params, tokens, loss_mask):
         # grad only w.r.t. float leaves — integer leaves (packed QTensor

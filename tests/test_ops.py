@@ -54,7 +54,7 @@ def test_int8_matmul_fwd_close_bwd_exact_shape():
     out = int8_matmul(x, w).astype(jnp.float32)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 0.02, rel
-    # backward is full-precision bf16
+    # dgrad is int8 (codes reused from fwd), wgrad bf16 — both stay close
     g = jax.grad(lambda x, w: (int8_matmul(x, w).astype(jnp.float32) ** 2
                                ).sum(), argnums=(0, 1))(x, w)
     gr = jax.grad(lambda x, w: (jnp.dot(x, w).astype(jnp.float32) ** 2
@@ -63,6 +63,26 @@ def test_int8_matmul_fwd_close_bwd_exact_shape():
         rel = float(jnp.linalg.norm(a.astype(jnp.float32) - b.astype(jnp.float32))
                     / (jnp.linalg.norm(b.astype(jnp.float32)) + 1e-9))
         assert rel < 0.1, rel
+
+
+def test_int8_matmul_wgrad_mode():
+    """Experimental full-int8 wgrad (per-column scales on both operands of
+    the x^T @ dy dot) stays within quantization-noise distance of bf16."""
+    from koifish_tpu.ops.int8_train import int8_matmul, set_train_int8
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (64, 256), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (256, 512), jnp.bfloat16) * 0.05
+    set_train_int8(True, wgrad=True)
+    try:
+        g = jax.grad(lambda x, w: (int8_matmul(x, w).astype(jnp.float32) ** 2
+                                   ).sum(), argnums=1)(x, w)
+    finally:
+        set_train_int8(False)
+    gr = jax.grad(lambda x, w: (jnp.dot(x, w).astype(jnp.float32) ** 2
+                                ).sum(), argnums=1)(x, w)
+    rel = float(jnp.linalg.norm(g.astype(jnp.float32) - gr.astype(jnp.float32))
+                / (jnp.linalg.norm(gr.astype(jnp.float32)) + 1e-9))
+    assert rel < 0.1, rel
 
 
 def test_int8_train_step_converges():
