@@ -65,8 +65,22 @@ def main(argv=None) -> int:
 
     print(f"[bubble] loading {hf_dir} ...")
     t0 = time.time()
-    card, params = load_hf_model(hf_dir)
-    tokenizer = BPETokenizer.from_file(hf_dir)
+    if hf_dir.endswith((".kun", ".ckp")):
+        # reference single-file model (config embedded as msgpack tensor)
+        import os
+        from koifish_tpu.io.hf_loader import load_kun_model
+        card, params, _kcfg = load_kun_model(hf_dir)
+        tkdir = os.path.dirname(hf_dir) or "."
+        hf_dir = tkdir   # chat-template / artifact paths are dir-relative
+        if os.path.exists(os.path.join(tkdir, "tokenizer.dat")):
+            from koifish_tpu.data.tokenizer import ScoreTokenizer
+            tokenizer = ScoreTokenizer.from_tokenizer_dat(
+                os.path.join(tkdir, "tokenizer.dat"))
+        else:
+            tokenizer = BPETokenizer.from_file(tkdir)
+    else:
+        card, params = load_hf_model(hf_dir)
+        tokenizer = BPETokenizer.from_file(hf_dir)
     print(f"[bubble] {card.arch} {card.n_layer}L loaded in {time.time()-t0:.1f}s "
           f"on {jax.default_backend()}")
 

@@ -38,6 +38,32 @@ def load_hf_model(folder: str, card: Optional[ModelCard] = None,
     return card, params
 
 
+def load_kun_model(path: str, dtype=jnp.bfloat16):
+    """Load a reference-produced ``.kun`` single-file model: the embedded
+    msgpack config (Safetensors.hpp:92-119) provides the ModelCard; the
+    bf16 tensors (HF naming, Serialize.cpp) map like an HF folder.
+    Returns (card, params, config_json)."""
+    from koifish_tpu.io.kun import read_kun
+    config, ktensors = read_kun(path)
+    if config is None:
+        raise ValueError(f"{path}: no embedded __koifish__config__ — "
+                        "not a .kun file (plain safetensors? use load_hf_model)")
+    card = ModelCard.from_json(config.get("model", {}))
+    raw = {}
+    for name, kt in ktensors.items():
+        if kt.gama is not None or kt.data.ndim != len(kt.shape):
+            raise NotImplementedError(
+                f"{name}: packed/quantized .kun tensors need the quant "
+                f"rules from the config — dequantize with the reference "
+                f"or export HF-format for now")
+        raw[name] = np.asarray(kt.data)
+    if card.arch == "GPT2":
+        params = _map_gpt2(card, raw, dtype)
+    else:
+        params = _map_llama_family(card, raw, dtype)
+    return card, params, config
+
+
 def _j(a, dtype, transpose=False):
     from koifish_tpu.quant.qtensor import QTensor
     if isinstance(a, QTensor):

@@ -80,6 +80,36 @@ def test_bubble_chat_cli(tmp_path, tiny_hf):
     assert rows and rows[0]["prompt"] == "hello"
 
 
+def test_bubble_kun_model_cli(tmp_path, tiny_hf):
+    """A reference-format .kun single-file model chats through bubble
+    (interop: Serialize.cpp:465-514 load path)."""
+    import shutil
+    hf_dir, card = tiny_hf
+    from koifish_tpu.io.kun import write_kun
+    from koifish_tpu.io.safetensors import read_safetensors
+    import os
+    tensors, _ = read_safetensors(os.path.join(hf_dir, "model.safetensors"))
+    cfg = {"model": {"arch": "QWEN3", "vocab_size": card.vocab_size,
+                     "parameter": {"Layer": card.n_layer,
+                                   "tie_word_embeddings": True,
+                                   "max_pos_embeddings": card.max_pos,
+                                   "transformer": {
+                                       "Ctx": card.n_ctx, "Embed": card.n_embd,
+                                       "Head": card.n_head,
+                                       "KVHead": card.n_kv_head,
+                                       "head_dim": card.head_dim,
+                                       "Ffn": card.n_ffn}}}}
+    kun = tmp_path / "model.kun"
+    write_kun(str(kun), cfg, dict(tensors))
+    shutil.copy(os.path.join(hf_dir, "tokenizer.json"),
+                tmp_path / "tokenizer.json")
+    r = run_cli("bubble", "--hf", str(kun), "--prompts", "hello",
+                "--max-new", "8", "--temperature", "0", "--ctx", "128",
+                "--device", "cpu", "--csv", str(tmp_path / "chat.csv"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tk/s" in r.stdout
+
+
 def test_pangpi_ppl_cli(tmp_path, tiny_hf):
     hf_dir, card = tiny_hf
     seq = np.random.default_rng(0).integers(0, 300, 20000).astype(np.uint32)
