@@ -171,6 +171,13 @@ class ModelCard:
             card.n_ffn = 4 * card.n_embd  # GPT2 MLP is 4x (ref config "Ffn" field is unused scale)
             card.rope_theta = 0.0
             card.norm_eps = 1e-5
+        # the backbone tree IS the graph in the reference (TGraph.cpp:1586) —
+        # honor it: accept layouts our compiled decoder implements, error
+        # loudly on anything else instead of silently coercing
+        bb = jmodel.get("backbone")
+        if bb:
+            from koifish_tpu.models.backbone import validate_backbone
+            validate_backbone(bb, card.n_layer)
         return card
 
     @classmethod
