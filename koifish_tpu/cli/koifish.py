@@ -154,6 +154,33 @@ def main(argv=None) -> int:
             state = init_train_state(
                 card, tcard, params=quantize_params(state.params, qcard, card))
 
+    # Fuyou EOE swarm: rotate branches every `switch` iters (reference
+    # ExploreOptimization hook, gLLM.cpp:673-677; config model.fuyou)
+    hook_fn = None
+    if p.fuyou:
+        import dataclasses as _dc
+        from koifish_tpu.train.fuyou import Fuyou, FuyouConfig
+        fcfg = FuyouConfig.from_json(p.fuyou)
+        fy = Fuyou(fcfg, state.params)
+        state = _dc.replace(state, params=fy.inject(state.params))
+        fy_losses = []
+        fy_rng = jax.random.PRNGKey(p.seed + 1)
+
+        def hook_fn(st, it, loss, _fy=fy, _l=fy_losses):
+            _l.append(loss)
+            if (it + 1) % fcfg.switch:
+                return None
+            nonlocal fy_rng
+            fy_rng, k = jax.random.split(fy_rng)
+            recent = sum(_l[-fcfg.switch:]) / min(len(_l), fcfg.switch)
+            new_params = _fy.rotate(st.params, recent, k)
+            print(f"[fuyou] iter {it}: rotate -> branch {_fy.cur} "
+                  f"(best={_fy.best}, score={recent:.4f})")
+            return _dc.replace(st, params=new_params)
+
+        print(f"[koifish] fuyou swarm: {fcfg.branches} branches, "
+              f"switch={fcfg.switch}, method={fcfg.method}")
+
     wandb_run = None
     if args.wandb:
         try:
@@ -181,7 +208,7 @@ def main(argv=None) -> int:
     state, infos = train_loop(
         card, tcard, state, batches,
         total_steps=total_steps, log_fn=log_fn, eval_fn=eval_fn,
-        save_fn=save_fn, qcard=qcard, trainable=trainable)
+        save_fn=save_fn, qcard=qcard, trainable=trainable, hook_fn=hook_fn)
     csv = os.path.join(args.out_dir, "koifish_loss.csv")
     infos.save_csv(csv)
     if infos.rows:

@@ -21,6 +21,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_INTERPRET = False
+
+
+def set_interpret(on: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = on
+
 
 def _rowquant_kernel(x_ref, q_ref, s_ref):
     x = x_ref[:].astype(jnp.float32)
@@ -29,7 +36,9 @@ def _rowquant_kernel(x_ref, q_ref, s_ref):
     recip = 127.0 / jnp.maximum(absmax, 1e-12)
     q = jnp.clip(jnp.rint(x * recip), -127.0, 127.0)
     q_ref[:] = q.astype(jnp.int8)
-    s_ref[:] = scale
+    # scalar-per-row outputs must still be 128-lane tiles (min-tile rule;
+    # same trick as the flash kernel's lse output)
+    s_ref[:] = jnp.broadcast_to(scale, s_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m",))
@@ -48,14 +57,15 @@ def rowquant(x: jax.Array, block_m: int = 256):
                                memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((M, K), jnp.int8),
-            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((M, 128), jnp.float32),
         ),
+        interpret=_INTERPRET,
     )(x)
-    return q, s
+    return q, s[:, :1]
 
 
 def _colabs_kernel(x_ref, amax_ref, acc):
@@ -70,12 +80,12 @@ def _colabs_kernel(x_ref, amax_ref, acc):
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
-        amax_ref[:] = acc[:]
+        amax_ref[:] = jnp.broadcast_to(acc[:], amax_ref.shape)
 
 
 def _colquant_kernel(x_ref, amax_ref, q_ref):
     x = x_ref[:].astype(jnp.float32)
-    recip = 127.0 / jnp.maximum(amax_ref[:], 1e-12)         # [1, K]
+    recip = 127.0 / jnp.maximum(amax_ref[0:1, :], 1e-12)    # [1, K]
     q_ref[:] = jnp.clip(jnp.rint(x * recip), -127.0, 127.0).astype(jnp.int8)
 
 
@@ -93,20 +103,22 @@ def colquant(x: jax.Array, block_m: int = 512):
         grid=grid,
         in_specs=[pl.BlockSpec((bm, K), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, K), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((8, K), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, K), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, K), jnp.float32)],
+        interpret=_INTERPRET,
     )(x)
     q = pl.pallas_call(
         _colquant_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, K), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, K), jnp.int8),
+        interpret=_INTERPRET,
     )(x, amax)
-    return q, amax * (1.0 / 127.0)
+    return q, amax[:1] * (1.0 / 127.0)

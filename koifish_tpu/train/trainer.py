@@ -200,10 +200,13 @@ def train_loop(
     save_fn: Optional[Callable[[TrainState, int, str], None]] = None,
     qcard=None,
     trainable=None,
+    hook_fn: Optional[Callable[[TrainState, int, float], Optional[TrainState]]] = None,
 ) -> Tuple[TrainState, StepInfo]:
     """Host loop around the jitted step — ``Optimizer::Search`` analog with
     the reference's instability handling (emergency checkpoint then abort,
-    Optimizer.cpp:176-179)."""
+    Optimizer.cpp:176-179). ``hook_fn(state, it, loss)`` runs after each
+    step and may return a replacement state (Fuyou swarm rotation,
+    gLLM.cpp:673-677)."""
     step = make_train_step(card, tcard, total_steps, qcard=qcard,
                            trainable=trainable)
     infos = StepInfo()
@@ -235,6 +238,10 @@ def train_loop(
             log_fn(f"[{it}] loss={loss:.4f} lr={float(metrics['lr']):.2e} "
                    f"gnorm={float(metrics['grad_norm']):.3f} "
                    f"T={dt:.2f}s {tps/1e3:.1f}K tok/s")
+        if hook_fn is not None:
+            new_state = hook_fn(state, it, loss)
+            if new_state is not None:
+                state = new_state
         if eval_fn and tcard.eval_every and it and it % tcard.eval_every == 0:
             eval_fn(state, it)
         if save_fn and tcard.save_every and it and it % tcard.save_every == 0:

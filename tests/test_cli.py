@@ -67,6 +67,52 @@ def test_koifish_train_cli(tmp_path, tiny_hf):
     assert last < first * 0.5, f"loss {first} -> {last}"
 
 
+def test_koifish_fuyou_cli(tmp_path):
+    """The `model.fuyou` config key changes the training run (swarm
+    rotation logs + a different loss trajectory) — mirrors the
+    reference's GPT2±fuyou golden pair (test_lite.py:107-131;
+    ExploreOptimization hook gLLM.cpp:673-677)."""
+    seq = (np.arange(40000) % 64).astype(np.uint32)
+    write_shard(str(tmp_path / "p_train_0.bin"), seq, MAGIC_QWEN3, 300)
+    base = {
+        "model": {"arch": "QWEN3", "vocab_size": 300,
+                  "parameter": {"Layer": 2,
+                                "transformer": {"Ctx": 32, "Embed": 64,
+                                                "Ffn": 128, "Head": 4,
+                                                "KVHead": 2, "head_dim": 16}}},
+        "train": {"batch": 8, "learning-rate": 0.01, "dump-every": 50,
+                  "warmup": 3,
+                  "optimizatioin": {"method": "adamw", "grad_accumulation": 1}},
+        "datasets": {"train": {"glob": str(tmp_path / "p_train_*.bin"),
+                               "name": "pattern"}},
+        "debug": {"most_iter": 24},
+        "seed": 42,
+    }
+    losses = {}
+    for tag in ("no_fuyou", "fuyou"):
+        cfg = json.loads(json.dumps(base))
+        if tag == "fuyou":
+            cfg["model"]["fuyou"] = {"branch": 3, "switch": 8,
+                                     "method": "pso_ga", "crossover": 0.6,
+                                     "mutation": 0.001, "social": 2}
+        out = tmp_path / tag
+        out.mkdir()
+        cfgp = str(out / "cfg.json")
+        with open(cfgp, "w") as f:
+            json.dump(cfg, f)
+        r = run_cli("koifish", cfgp, "--device", "cpu", "--out-dir", str(out))
+        assert r.returncode == 0, r.stderr[-2000:]
+        if tag == "fuyou":
+            assert "[fuyou] iter" in r.stdout, r.stdout[-1500:]
+        with open(out / "koifish_loss.csv") as f:
+            rows = list(csv.DictReader(f))
+        losses[tag] = [float(x["loss"]) for x in rows]
+    # both trajectories train; fuyou's branch swaps make them diverge
+    assert losses["no_fuyou"][-1] < losses["no_fuyou"][0]
+    assert losses["fuyou"][-1] < losses["fuyou"][0]
+    assert losses["fuyou"][10:] != losses["no_fuyou"][10:]
+
+
 def test_bubble_chat_cli(tmp_path, tiny_hf):
     hf_dir, card = tiny_hf
     r = run_cli("bubble", "--hf", hf_dir, "--prompts", "hello",

@@ -1,0 +1,75 @@
+"""Pinned golden losses — the reference's regression strategy.
+
+The reference pins short-run losses to rel_tol=1e-3 (``CheckResult``,
+cases/test_lite.py:17-34, goldens :54-120 e.g. Qwen3-596M 7.980@80it).
+These are the rebuild's equivalents: CPU platform, fixed seeds
+(jax_threefry_partitionable, conftest), synthetic "+1 mod 64" stream.
+A drift > 1e-3 in any pinned value means the numerics of init / forward
+/ CE / AdamW changed — investigate before re-pinning.
+
+Pinned on jax 0.9.0 / CPU, 2026-08-17.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from koifish_tpu.config import ModelCard, SamplerCard, TrainCard
+from koifish_tpu.train.trainer import init_train_state, make_train_step
+
+REL_TOL = 1e-3   # reference cases/test_lite.py:29
+
+
+def _run(card, iters):
+    tcard = TrainCard(batch=8, lr=0.01, warmup=5, optimizer="adamw", seed=42)
+    state = init_train_state(card, tcard)
+    step = make_train_step(card, tcard, total_steps=40)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        s = jax.random.randint(k, (8, 1), 0, 64)
+        batch = {"tokens": ((s + jnp.arange(33)[None]) % 64)[None
+                 ].astype(jnp.int32)}
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    return state, losses
+
+
+def _check(got, want):
+    assert abs(got - want) <= REL_TOL * abs(want), \
+        f"golden drift: got {got!r}, pinned {want!r} (rel_tol {REL_TOL})"
+
+
+def test_qwen3_golden_losses():
+    card = ModelCard.from_arch(
+        "QWEN3", vocab_size=128, n_layer=2, n_embd=64, n_head=4, n_kv_head=2,
+        head_dim=16, n_ffn=128, n_ctx=32, max_pos=64)
+    state, losses = _run(card, 30)
+    _check(losses[0], 4.8678202629089355)
+    _check(losses[9], 1.8592853546142578)
+    _check(losses[29], 0.04645787924528122)
+
+    # generation golden: trained + INT4-quantized model continues the
+    # pattern EXACTLY (the analog of the reference's chat answer
+    # substrings, test_lite.py:36-53)
+    from koifish_tpu.config import QuantCard
+    from koifish_tpu.quant.apply import quantize_params
+    from koifish_tpu.serve import generate, init_cache
+    qc = QuantCard.from_json({"self_attn": {"bits": 4}, "mlp": {"bits": 4},
+                              "group_size": 32})
+    qparams = quantize_params(state.params, qc, card)
+    cache = init_cache(card.n_layer, 1, 64, card.n_kv_head, card.head_dim)
+    prompt = (jnp.arange(5)[None] + 10).astype(jnp.int32)
+    toks, _ = generate(card, qparams, prompt, cache,
+                       SamplerCard(temperature=0.0), max_new_tokens=10)
+    assert toks[0].tolist() == [(15 + i) % 64 for i in range(10)]
+
+
+def test_gpt2_golden_losses():
+    card = ModelCard.from_arch(
+        "GPT2", vocab_size=128, n_layer=2, n_embd=64, n_head=4, n_kv_head=4,
+        head_dim=16, n_ffn=256, n_ctx=32, max_pos=64)
+    _, losses = _run(card, 12)
+    _check(losses[0], 4.865329265594482)
+    _check(losses[11], 1.5566023588180542)
