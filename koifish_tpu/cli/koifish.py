@@ -24,6 +24,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--out-dir", default=".", help="loss CSV / checkpoint dir")
     ap.add_argument("--dp", type=int, default=1, help="data-parallel ways")
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline stages (GPipe microbatch schedule)")
+    ap.add_argument("--n-micro", type=int, default=0,
+                    help="pipeline microbatches (default: 2*pp)")
     ap.add_argument("--fsdp", action="store_true",
                     help="shard params+moments over dp (ZeRO-3 analog)")
     ap.add_argument("--resume", default=None,
@@ -134,6 +138,12 @@ def main(argv=None) -> int:
         save_train_state(path, st, card, extra_meta={"iter": it})
         print(f"[koifish] saved {tag} checkpoint -> {path}")
 
+    # pipeline parallelism: staged-microbatch GPipe loop (its own driver —
+    # params live as (stage_layers, other) pytrees on a pp mesh)
+    if args.pp > 1:
+        return _run_pipeline(args, p, card, tcard, state, batches,
+                             total_steps)
+
     # multi-chip: shard state TP(+FSDP), batches DP (new capability vs the
     # single-GPU reference — SURVEY.md §2.7)
     if args.dp * args.tp > 1:
@@ -216,6 +226,50 @@ def main(argv=None) -> int:
               f"final loss {infos.losses[-1]:.4f}, curve -> {csv}")
     if tcard.save_every or p.checkpoint_out:
         save_fn(state, len(infos.rows), "final")
+    return 0
+
+
+def _run_pipeline(args, p, card, tcard, state, batches, total_steps) -> int:
+    """GPipe pipeline training loop (koifish --pp N)."""
+    import jax
+
+    from koifish_tpu.parallel.mesh import make_mesh
+    from koifish_tpu.parallel.pipeline import (make_pp_train_step,
+                                               stack_for_pipeline)
+    from koifish_tpu.train.optimizer import init_opt_state
+    from koifish_tpu.train.trainer import StepInfo
+
+    n_micro = args.n_micro or 2 * args.pp
+    mesh = make_mesh({"pp": args.pp}, devices=jax.devices()[: args.pp])
+    stage_layers, other = stack_for_pipeline(state.params, args.pp)
+    opt = init_opt_state({"stages": stage_layers, "other": other},
+                         tcard.optimizer)
+    step = make_pp_train_step(card, tcard, mesh, n_micro, total_steps)
+    print(f"[koifish] pipeline: pp={args.pp} n_micro={n_micro} "
+          f"(bubble {(args.pp-1)/(n_micro+args.pp-1):.0%})")
+    infos = StepInfo()
+    ctx = (jax.sharding.use_mesh(mesh)
+           if hasattr(jax.sharding, "use_mesh") else mesh)
+    import time as _t
+    with ctx:
+        for it, batch in enumerate(batches):
+            if 0 <= tcard.most_iter <= it or it >= total_steps:
+                break
+            tokens = batch["tokens"].reshape(-1, batch["tokens"].shape[-1])
+            t0 = _t.perf_counter()
+            stage_layers, other, opt, m = step(stage_layers, other, opt,
+                                               tokens)
+            loss = float(m["loss"])
+            dt = _t.perf_counter() - t0
+            infos.add(it, loss, float(m["lr"]), dt,
+                      tokens.size / dt)
+            if tcard.dump_every and it % tcard.dump_every == 0:
+                print(f"[{it}] loss={loss:.4f} T={dt:.2f}s (pp)")
+    csv = os.path.join(args.out_dir, "koifish_loss.csv")
+    infos.save_csv(csv)
+    if infos.rows:
+        print(f"[koifish] pp done: {len(infos.rows)} iters, "
+              f"final loss {infos.losses[-1]:.4f}")
     return 0
 
 
