@@ -65,6 +65,12 @@ _ARCH_DEFAULTS = {
                       qkv_bias=False, qk_norm=True, mlp_bias=False, tie_embeddings=True),
     "MAMBA": dict(pos_embed="none", norm="rmsnorm", act="silu",
                   qkv_bias=False, qk_norm=False, mlp_bias=False, tie_embeddings=True),
+    # Salmon — masked-diffusion ("scoring") LM: bidirectional attention
+    # (reference isCausalMask=false, Salmon.cpp:36; open-dcoder-0.5B has
+    # QKV bias, Salmon.cpp:18)
+    "SALMON": dict(pos_embed="rope", norm="rmsnorm", act="swiglu",
+                   qkv_bias=True, qk_norm=False, mlp_bias=False,
+                   tie_embeddings=True, causal=False),
 }
 
 _HF_MODEL_TYPE = {
@@ -108,6 +114,11 @@ class ModelCard:
     rope_scaling: Optional[tuple] = None
     # sliding-window attention (Mistral); 0 = full causal
     window: int = 0
+    # False = bidirectional attention (Salmon diffusion LM,
+    # reference isCausalMask=false)
+    causal: bool = True
+    # diffusion-LM mask token id (-1 = vocab_size - 1 at runtime)
+    mask_token_id: int = -1
     # MoE (QWEN3_MOE)
     n_experts: int = 0
     n_experts_active: int = 0
@@ -141,6 +152,8 @@ class ModelCard:
     def from_json(cls, jmodel: dict) -> "ModelCard":
         """Parse a reference-style ``model`` section (SURVEY.md §5.6)."""
         arch = jmodel.get("arch", "QWEN3").upper()
+        if arch in ("SCORE", "NLP_SCORE", "NLP_SCORE_"):
+            arch = "SALMON"   # reference arch string (CLI_params.cpp:297)
         p = jmodel.get("parameter", {})
         t = p.get("transformer", {})
         kw: Dict[str, Any] = {}
@@ -412,6 +425,7 @@ class CLIParams:
     hf_card: str = ""                # HF model dir (--hf flag / "hf-card")
     prompts: List[str] = dataclasses.field(default_factory=list)
     fuyou: Optional[dict] = None
+    xi: Optional[dict] = None        # diffusion/score config (XI_CARD)
     seed: int = 42
     raw: dict = dataclasses.field(default_factory=dict)
 
@@ -437,6 +451,7 @@ class CLIParams:
             p.model = ModelCard.from_json(jm)
         if "fuyou" in jm:
             p.fuyou = jm["fuyou"]
+        p.xi = jm.get("xi", raw.get("xi"))   # XI_CARD (diffusion mask cfg)
         if "quantizer" in raw:
             p.quant = QuantCard.from_json(raw["quantizer"])
         p.train = TrainCard.from_json(raw.get("train", {}), raw.get("debug", {}))

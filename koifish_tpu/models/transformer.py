@@ -213,7 +213,7 @@ def layer_forward(card: ModelCard, lp: Params, x: jax.Array,
         return x + mamba_block(card, lp, h)
     h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
     q, k, v = qkv_project(card, lp, h, cos, sin, positions)
-    a = causal_attention(q, k, v, window=window)
+    a = causal_attention(q, k, v, window=window, causal=card.causal)
     B, T = x.shape[:2]
     a = _linear_l(a.reshape(B, T, -1), lp, "o")
     x = x + a

@@ -70,7 +70,8 @@ def causal_attention(
         if window > 0:
             allowed &= kpos > qpos - window
     else:
-        assert mask is not None
+        # bidirectional (diffusion-LM / prefill-reorder); mask may further
+        # restrict it, or None = full attention
         allowed = jnp.ones((tq, tk), bool)
     if mask is not None:
         m = mask if mask.ndim == 3 else mask[None]

@@ -41,12 +41,20 @@ class TrainState:
 
 
 def compute_loss(card: ModelCard, params, tokens, loss_mask=None,
-                 remat: bool = False, qcard=None):
+                 remat: bool = False, qcard=None, rng=None):
     """Next-token CE over [B, T] tokens (targets = tokens shifted).
-    ``qcard`` with rules enables fake-quant QAT (STE) in the forward."""
+    ``qcard`` with rules enables fake-quant QAT (STE) in the forward.
+    SALMON (diffusion LM) uses the masked-reconstruction objective
+    instead — ``rng`` drives the mask sampling."""
     if qcard is not None and qcard.rules and qcard.train_target != "gama":
         from koifish_tpu.quant.qat import apply_qat
         params = apply_qat(params, qcard, card)
+    if card.arch == "SALMON":
+        from koifish_tpu.models.salmon import diffusion_loss
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+        return diffusion_loss(card, params, tokens[:, :-1], key,
+                              loss_mask=loss_mask[:, :-1]
+                              if loss_mask is not None else None)
     targets = tokens[:, 1:]
     mask = loss_mask[:, 1:] if loss_mask is not None else None
 
@@ -82,7 +90,7 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
         from koifish_tpu.ops.int8_train import set_train_int8
         set_train_int8(True, wgrad=tcard.int8_wgrad)  # ambient, trace-time
 
-    def micro_grads(params, tokens, loss_mask):
+    def micro_grads(params, tokens, loss_mask, rng=None):
         # grad only w.r.t. float leaves — integer leaves (packed QTensor
         # codes under gama training) are frozen structure
         leaves, treedef = jax.tree_util.tree_flatten(params)
@@ -97,7 +105,8 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
 
         def loss_fn(diff_leaves):
             loss, _ = compute_loss(card, merge(diff_leaves), tokens,
-                                   loss_mask, remat=tcard.remat, qcard=qcard)
+                                   loss_mask, remat=tcard.remat, qcard=qcard,
+                                   rng=rng)
             return loss
 
         loss, g_diff = jax.value_and_grad(loss_fn)(diff)
@@ -119,11 +128,15 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
                 return a
             return a + b.astype(jnp.float32)
 
+        step_rng = jax.random.fold_in(state.rng, state.opt.step)
+
         def body(carry, xs):
             acc_g, acc_l = carry
             tok = xs["tokens"]
             msk = xs.get("loss_mask")
-            loss, g = micro_grads(state.params, tok, msk)
+            loss, g = micro_grads(state.params, tok, msk,
+                                  rng=jax.random.fold_in(step_rng,
+                                                         xs["micro"]))
             acc_g = jax.tree_util.tree_map(acc_add, acc_g, g)
             return (acc_g, acc_l + loss), None
 
@@ -132,12 +145,14 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
             # fusion/donation barrier for XLA)
             loss_sum, grads = micro_grads(
                 state.params, tokens[0],
-                loss_mask[0] if loss_mask is not None else None)
+                loss_mask[0] if loss_mask is not None else None,
+                rng=step_rng)
         else:
             zero_g = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape if _is_float(p) else (0,),
                                     jnp.float32), state.params)
-            xs = {"tokens": tokens}
+            xs = {"tokens": tokens,
+                  "micro": jnp.arange(accum, dtype=jnp.int32)}
             if loss_mask is not None:
                 xs["loss_mask"] = loss_mask
             (grads, loss_sum), _ = jax.lax.scan(body, (zero_g, 0.0), xs)
