@@ -45,6 +45,14 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    # multi-host: JAX_COORDINATOR/JAX_NUM_PROCESSES/JAX_PROCESS_ID env
+    # (or the koifish-multihost launcher) -> jax.distributed; devices
+    # become the global set, data is fed per host below
+    from koifish_tpu.parallel.multihost import init_distributed
+    if init_distributed():
+        print(f"[koifish] distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
+
     from koifish_tpu.config import CLIParams
     from koifish_tpu.data import TokenDataset
     from koifish_tpu.evaluate import perplexity
@@ -148,11 +156,21 @@ def main(argv=None) -> int:
     # single-GPU reference — SURVEY.md §2.7)
     if args.dp * args.tp > 1:
         from koifish_tpu.parallel.mesh import make_mesh
+        from koifish_tpu.parallel.multihost import per_host_batch_slice
         from koifish_tpu.train.sharded import shard_batch, shard_train_state
         mesh = make_mesh({"dp": args.dp, "tp": args.tp})
         state = shard_train_state(state, mesh, tp="tp",
                                   fsdp="dp" if args.fsdp else None)
-        batches = (shard_batch(b, mesh) for b in batches)
+        if jax.process_count() > 1:
+            # each host feeds only its slice of the global batch
+            sl = per_host_batch_slice(tcard.batch)
+            batches = (shard_batch(
+                {k: v[:, sl] for k, v in b.items()}, mesh,
+                global_batch=tcard.batch) for b in batches)
+            print(f"[koifish] per-host batch rows {sl.start}:{sl.stop} "
+                  f"of {tcard.batch}")
+        else:
+            batches = (shard_batch(b, mesh) for b in batches)
         print(f"[koifish] mesh dp={args.dp} tp={args.tp} fsdp={args.fsdp}")
 
     qcard = p.quant if p.quant.rules else None

@@ -30,20 +30,43 @@ NF4_VALUES = (
     0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
     0.7229568362236023, 1.0,
 )
-NF4_CODEBOOK = jnp.array(NF4_VALUES, dtype=jnp.float32)
 # NF3: 8-level NormalFloat (quantiles of N(0,1), zero included, normalized).
 NF3_VALUES = (
     -1.0, -0.5350227355957031, -0.2469314038753510, 0.0,
     0.1833375245332718, 0.3819939494132996, 0.6229856610298157, 1.0,
 )
-NF3_CODEBOOK = jnp.array(NF3_VALUES, dtype=jnp.float32)
+
+
+class _LazyCodebook:
+    """Device array built on first use — a module-level jnp.array would
+    initialize the XLA backend at import time, which breaks
+    jax.distributed.initialize ordering in multi-process runs."""
+
+    def __init__(self, values):
+        self._values = values
+        self._arr = None
+
+    def get(self) -> jnp.ndarray:
+        if self._arr is None:
+            self._arr = jnp.array(self._values, dtype=jnp.float32)
+        return self._arr
+
+    def __getitem__(self, idx):
+        return self.get()[idx]
+
+    def __jax_array__(self):
+        return self.get()
+
+
+NF4_CODEBOOK = _LazyCodebook(NF4_VALUES)
+NF3_CODEBOOK = _LazyCodebook(NF3_VALUES)
 
 
 def codebook_for(fmt: QFormat) -> jnp.ndarray:
     if fmt is QFormat.NF4:
-        return NF4_CODEBOOK
+        return NF4_CODEBOOK.get()
     if fmt is QFormat.NF3:
-        return NF3_CODEBOOK
+        return NF3_CODEBOOK.get()
     raise ValueError(f"{fmt} has no codebook")
 
 

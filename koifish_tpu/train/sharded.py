@@ -51,10 +51,24 @@ def shard_train_state(state: TrainState, mesh: Mesh, tp: str = "tp",
                       rng=jax.device_put(state.rng, repl))
 
 
-def shard_batch(batch: dict, mesh: Mesh, dp: str = "dp") -> dict:
-    """[A, B, T] batches: shard the batch axis over dp."""
+def shard_batch(batch: dict, mesh: Mesh, dp: str = "dp",
+                global_batch: Optional[int] = None) -> dict:
+    """[A, B, T] batches: shard the batch axis over dp.
+
+    Multi-host: pass the HOST-LOCAL slice (see
+    ``parallel.multihost.per_host_batch_slice``) plus ``global_batch`` —
+    the global array is assembled from each process's local data
+    (``jax.make_array_from_process_local_data``), so no host ever
+    materializes the full batch."""
     out = {}
     for k, v in batch.items():
         spec = _fit_spec(v.shape, P(None, dp, None), mesh)
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() > 1 and global_batch is not None:
+            import numpy as np
+            gshape = (v.shape[0], global_batch) + tuple(v.shape[2:])
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, np.asarray(v), gshape)
+        else:
+            out[k] = jax.device_put(v, sharding)
     return out
