@@ -1,15 +1,23 @@
 """Fused quantized-KV decode attention — Pallas TPU kernel.
 
-SURVEY.md §7 hard-part #2: read INT8 K/V codes directly inside the
+SURVEY.md §7 hard-part #2: read INT8/INT4 K/V codes directly inside the
 attention kernel (per-(position, head) scales) without materializing a
-bf16 cache — halving decode HBM traffic vs dequant-then-attend. The
-analog of the reference's decode attention kernels + (flag-gated)
-KV-quant modes (operator.cuh:573-709, quantizer.cu:844-1050), fused.
+bf16 cache — halving (INT8) or quartering (INT4) decode HBM traffic vs
+dequant-then-attend. The analog of the reference's decode attention
+kernels + (flag-gated) KV-quant modes (operator.cuh:573-709,
+quantizer.cu:844-1050), fused.
 
 Scale handling without extra tensors in VMEM-hostile shapes:
 - K scales multiply attention logits along the S (lane) axis;
 - V scales fold into the probability vector before the PV matmul —
   so codes never need per-element scale broadcasts over D.
+
+INT4 codes arrive packed 2/byte block-split along D (byte i = elements
+i and i+D/2, serve/kvcache.py) — in-kernel unpack is two contiguous
+nibble extractions + a concat, no lane interleave.
+
+The value head dim ``dv`` may differ from the key dim ``d`` (MLA:
+DeepSeek K=nope+rope, V=v_head_dim — reference DeepSeek.cpp:97).
 
 Program-count economics: decode work per (batch, head) is tiny, so the
 kernel processes ``HB`` heads per grid program with an unrolled in-kernel
@@ -51,10 +59,10 @@ def _platform_is_tpu() -> bool:
         return False
 
 
-def decode_attention_int8_or_none(
+def decode_attention_quant_or_none(
     q: jax.Array,          # [B, Hq, D]
-    k_codes: jax.Array,    # [B, Hkv, S, D] int8
-    v_codes: jax.Array,    # [B, Hkv, S, D] int8
+    k_codes: jax.Array,    # [B, Hkv, S, D] int8 | [B, Hkv, S, D//2] uint8
+    v_codes: jax.Array,    # [B, Hkv, S, Dv] int8 | [B, Hkv, S, Dv//2] uint8
     k_scale: jax.Array,    # [B, Hkv, S] f32
     v_scale: jax.Array,    # [B, Hkv, S] f32
     lengths: jax.Array,    # [B] int32 — valid slots per sequence
@@ -64,13 +72,16 @@ def decode_attention_int8_or_none(
     hkv, s = k_codes.shape[1], k_codes.shape[2]
     g = hq // hkv
     bh = b * hkv
+    int4 = k_codes.dtype == jnp.uint8
+    dv = v_codes.shape[-1] * (2 if int4 else 1)
     eligible = (
         _platform_is_tpu()
         and s % BS == 0
-        and d in (64, 128, 256)
-        and v_codes.shape[-1] == d      # MLA (K dim != V dim) not fused yet
+        and d in (64, 128, 192, 256)
+        and dv in (64, 128, 192, 256)
         and g <= GPAD
-        and k_codes.dtype == jnp.int8
+        and (k_codes.dtype == jnp.int8 or int4)
+        and v_codes.dtype == k_codes.dtype
     )
     if not eligible:
         return None
@@ -79,36 +90,44 @@ def decode_attention_int8_or_none(
     qg = q.reshape(b, hkv, g, d)
     qp = jnp.zeros((b, hkv, GPAD, d), jnp.bfloat16).at[:, :, :g].set(
         qg.astype(jnp.bfloat16)).reshape(bh, GPAD, d)
-    kc = k_codes.reshape(bh, s, d)
-    vc = v_codes.reshape(bh, s, d)
+    kc = k_codes.reshape(bh, s, k_codes.shape[-1])
+    vc = v_codes.reshape(bh, s, v_codes.shape[-1])
     ks = jnp.broadcast_to(k_scale.reshape(bh, 1, s), (bh, 8, s)).astype(jnp.float32)
     vs = jnp.broadcast_to(v_scale.reshape(bh, 1, s), (bh, 8, s)).astype(jnp.float32)
     lens = jnp.repeat(lengths, hkv).astype(jnp.int32)           # [BH]
 
     out = _decode_kernel_call(qp, kc, vc, ks, vs, lens, scale=scale,
-                              s=s, d=d, hb=hb)
-    return out.reshape(b, hkv, GPAD, d)[:, :, :g].reshape(b, hq, d)
+                              s=s, d=d, dv=dv, hb=hb, int4=int4)
+    return out.reshape(b, hkv, GPAD, dv)[:, :, :g].reshape(b, hq, dv)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "s", "d", "hb"))
-def _decode_kernel_call(qp, kc, vc, ks, vs, lens, *, scale, s, d, hb):
+# back-compat alias (round-1 name; INT8-only then)
+decode_attention_int8_or_none = decode_attention_quant_or_none
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "s", "d", "dv", "hb", "int4"))
+def _decode_kernel_call(qp, kc, vc, ks, vs, lens, *, scale, s, d, dv, hb,
+                        int4):
     HB = hb
     bh = qp.shape[0]
     grid = (bh // HB, s // BS)
-    kernel = functools.partial(_decode_kernel, scale=scale, HB=HB)
+    kernel = functools.partial(_decode_kernel, scale=scale, HB=HB, int4=int4)
+    dk_c = kc.shape[-1]     # packed (d//2) or full d
+    dv_c = vc.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((HB, GPAD, d), lambda h, j, lens: (h, 0, 0)),
-            pl.BlockSpec((HB, BS, d), lambda h, j, lens: (h, j, 0)),
-            pl.BlockSpec((HB, BS, d), lambda h, j, lens: (h, j, 0)),
+            pl.BlockSpec((HB, BS, dk_c), lambda h, j, lens: (h, j, 0)),
+            pl.BlockSpec((HB, BS, dv_c), lambda h, j, lens: (h, j, 0)),
             pl.BlockSpec((HB, 8, BS), lambda h, j, lens: (h, 0, j)),
             pl.BlockSpec((HB, 8, BS), lambda h, j, lens: (h, 0, j)),
         ],
-        out_specs=pl.BlockSpec((HB, GPAD, d), lambda h, j, lens: (h, 0, 0)),
+        out_specs=pl.BlockSpec((HB, GPAD, dv), lambda h, j, lens: (h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((HB, GPAD, d), jnp.float32),
+            pltpu.VMEM((HB, GPAD, dv), jnp.float32),
             pltpu.VMEM((HB * GPAD, 1), jnp.float32),
             pltpu.VMEM((HB * GPAD, 1), jnp.float32),
         ],
@@ -116,7 +135,7 @@ def _decode_kernel_call(qp, kc, vc, ks, vs, lens, *, scale, s, d, hb):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, GPAD, d), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((bh, GPAD, dv), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -124,8 +143,15 @@ def _decode_kernel_call(qp, kc, vc, ks, vs, lens, *, scale, s, d, hb):
     )(lens, qp, kc, vc, ks, vs)
 
 
+def _unpack4(b):
+    """[S, D//2] uint8 → [S, D] bf16 codes (block-split nibbles)."""
+    lo = (b & 0xF).astype(jnp.int8) - 8
+    hi = (b >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
+
+
 def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-                   o_acc, m_acc, l_acc, *, scale, HB):
+                   o_acc, m_acc, l_acc, *, scale, HB, int4):
     hg = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -141,11 +167,13 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         @pl.when(j * BS < n_valid)
         def _(h=h, n_valid=n_valid):
             qb = q_ref[h]                                  # [GPAD, d] bf16
-            kb = k_ref[h].astype(jnp.bfloat16)             # int8 -> bf16
+            kb = _unpack4(k_ref[h]) if int4 \
+                else k_ref[h].astype(jnp.bfloat16)
             s_int = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32)
             ksr = ks_ref[h][0:1, :]                        # [1, BS]
             logits = s_int * ksr * scale                   # K dequant on logits
-            spos = j * BS + jax.lax.broadcasted_iota(jnp.int32, (GPAD, BS), 1)
+            spos = j * BS + jax.lax.broadcasted_iota(jnp.int32,
+                                                     logits.shape, 1)
             logits = jnp.where(spos < n_valid, logits, _NEG_INF)
 
             m_prev = m_acc[h * GPAD:(h + 1) * GPAD]
@@ -157,9 +185,10 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
                 l_acc[h * GPAD:(h + 1) * GPAD] * alpha \
                 + jnp.sum(p, axis=-1, keepdims=True)
             pv = (p * vs_ref[h][0:1, :]).astype(jnp.bfloat16)
+            vb = _unpack4(v_ref[h]) if int4 \
+                else v_ref[h].astype(jnp.bfloat16)
             o_acc[h] = o_acc[h] * alpha + jnp.dot(
-                pv, v_ref[h].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
+                pv, vb, preferred_element_type=jnp.float32)
             m_acc[h * GPAD:(h + 1) * GPAD] = m_new
 
     @pl.when(j == pl.num_programs(1) - 1)

@@ -62,7 +62,7 @@ def _eligible(q, k, window: int) -> bool:
         and bq is not None and bk is not None
         and d in (64, 128, 256)
         and hq % hkv == 0
-        and window == 0
+        and window >= 0        # sliding window supported in-kernel
     )
 
 
@@ -71,7 +71,7 @@ def flash_attention_or_none(q, k, v, *, scale: float, window: int = 0
     """Differentiable causal flash attention (Pallas fwd + bwd kernels)."""
     if not _eligible(q, k, window):
         return None
-    return _flash_diff(q, k, v, scale)
+    return _flash_diff(q, k, v, scale, window)
 
 
 # ---------------------------------------------------------------------------
@@ -88,26 +88,27 @@ def _to_heads(q, k, v):
     return qh, kh, vh
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_diff(q, k, v, scale):
-    out, _ = _flash_fwd_call(*_to_heads(q, k, v), scale=scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_diff(q, k, v, scale, window):
+    out, _ = _flash_fwd_call(*_to_heads(q, k, v), scale=scale, window=window)
     b, t, hq, d = q.shape
     return out.reshape(b, hq, t, d).transpose(0, 2, 1, 3)
 
 
-def _flash_diff_fwd(q, k, v, scale):
+def _flash_diff_fwd(q, k, v, scale, window):
     qh, kh, vh = _to_heads(q, k, v)
-    out, lse = _flash_fwd_call(qh, kh, vh, scale=scale)
+    out, lse = _flash_fwd_call(qh, kh, vh, scale=scale, window=window)
     b, t, hq, d = q.shape
     o4 = out.reshape(b, hq, t, d).transpose(0, 2, 1, 3)
     return o4, (qh, kh, vh, out, lse, q.shape, k.shape[2])
 
 
-def _flash_diff_bwd(scale, res, g):
+def _flash_diff_bwd(scale, window, res, g):
     qh, kh, vh, out, lse, qshape, hkv = res
     b, t, hq, d = qshape
     gh = g.transpose(0, 2, 1, 3).reshape(b * hq, t, d)
-    dq, dk, dv = _flash_bwd_call(qh, kh, vh, out, lse, gh, scale=scale)
+    dq, dk, dv = _flash_bwd_call(qh, kh, vh, out, lse, gh, scale=scale,
+                                 window=window)
     dq4 = dq.reshape(b, hq, t, d).transpose(0, 2, 1, 3).astype(jnp.bfloat16)
     # sum replicated-head grads back into the hkv KV heads
     gsz = hq // hkv
@@ -123,13 +124,14 @@ _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 # forward
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _flash_fwd_call(qh, kh, vh, *, scale: float):
+@functools.partial(jax.jit, static_argnames=("scale", "window"))
+def _flash_fwd_call(qh, kh, vh, *, scale: float, window: int = 0):
     bh, t, d = qh.shape
     bq, bk = _tiles(t)
     grid = (bh, t // bq, t // bk)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, BQ=bq, BK=bk),
+        functools.partial(_fwd_kernel, scale=scale, BQ=bq, BK=bk,
+                          window=window),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
@@ -163,7 +165,7 @@ def _flash_fwd_call(qh, kh, vh, *, scale: float):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, o_acc, m_acc, l_acc,
-                *, scale, BQ, BK):
+                *, scale, BQ, BK, window=0):
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -173,14 +175,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, o_acc, m_acc, l_acc,
         m_acc[:] = jnp.full_like(m_acc, _NEG_INF)
         l_acc[:] = jnp.zeros_like(l_acc)
 
-    @pl.when(j <= i)
+    # tile live iff some (qpos, kpos) pair passes causal (+window) masks
+    live = j <= i
+    if window > 0:
+        live = jnp.logical_and(live, (j + 1) * BK > i * BQ - window)
+
+    @pl.when(live)
     def _():
         qb = q_ref[0].astype(jnp.float32) * scale
         kb = k_ref[0].astype(jnp.float32)
         s = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32)
         qpos = i * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
         kpos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
-        s = jnp.where(kpos <= qpos, s, _NEG_INF)
+        allowed = kpos <= qpos
+        if window > 0:
+            allowed = jnp.logical_and(allowed, kpos > qpos - window)
+        s = jnp.where(allowed, s, _NEG_INF)
 
         m_prev = m_acc[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -203,8 +213,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, o_acc, m_acc, l_acc,
 # backward
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, scale: float):
+@functools.partial(jax.jit, static_argnames=("scale", "window"))
+def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, scale: float,
+                    window: int = 0):
     bh, t, d = qh.shape
     BQ, BK = _tiles(t)
     # D_i = rowsum(dO ∘ O) — cheap elementwise, leave to XLA
@@ -215,7 +226,8 @@ def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, scale: float):
 
     # --- dK/dV sweep: grid over kv tiles, q tiles sequential -------------
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, BQ=BQ, BK=BK),
+        functools.partial(_bwd_dkv_kernel, scale=scale, BQ=BQ, BK=BK,
+                          window=window),
         grid=(bh, t // BK, t // BQ),
         in_specs=[
             pl.BlockSpec((1, BQ, d), lambda h, j, i: (h, i, 0), memory_space=pltpu.VMEM),
@@ -245,7 +257,8 @@ def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, scale: float):
 
     # --- dQ sweep: grid over q tiles, kv tiles sequential ----------------
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, BQ=BQ, BK=BK),
+        functools.partial(_bwd_dq_kernel, scale=scale, BQ=BQ, BK=BK,
+                          window=window),
         grid=(bh, t // BQ, t // BK),
         in_specs=[
             pl.BlockSpec((1, BQ, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
@@ -268,7 +281,8 @@ def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, scale: float):
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, BQ, BK):
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, BQ, BK,
+                    window=0):
     j = pl.program_id(1)   # kv tile (parallel)
     i = pl.program_id(2)   # q tile (sequential)
 
@@ -277,14 +291,21 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    @pl.when(i >= j)
+    live = i >= j
+    if window > 0:
+        live = jnp.logical_and(live, (j + 1) * BK > i * BQ - window)
+
+    @pl.when(live)
     def _():
         qb = q_ref[0].astype(jnp.float32)
         kb = k_ref[0].astype(jnp.float32)
         s = jnp.dot(qb * scale, kb.T, preferred_element_type=jnp.float32)
         qpos = i * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
         kpos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
-        s = jnp.where(kpos <= qpos, s, _NEG_INF)
+        allowed = kpos <= qpos
+        if window > 0:
+            allowed = jnp.logical_and(allowed, kpos > qpos - window)
+        s = jnp.where(allowed, s, _NEG_INF)
         p = jnp.exp(s - lse_ref[0][:, :1])                 # [BQ, BK]
         gb = g_ref[0].astype(jnp.float32)
         dv_acc[:] += jnp.dot(p.astype(jnp.bfloat16).T,
@@ -305,7 +326,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                   dq_ref, dq_acc, *, scale, BQ, BK):
+                   dq_ref, dq_acc, *, scale, BQ, BK, window=0):
     i = pl.program_id(1)   # q tile (parallel)
     j = pl.program_id(2)   # kv tile (sequential)
 
@@ -313,14 +334,21 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     def _():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    @pl.when(j <= i)
+    live = j <= i
+    if window > 0:
+        live = jnp.logical_and(live, (j + 1) * BK > i * BQ - window)
+
+    @pl.when(live)
     def _():
         qb = q_ref[0].astype(jnp.float32)
         kb = k_ref[0].astype(jnp.float32)
         s = jnp.dot(qb * scale, kb.T, preferred_element_type=jnp.float32)
         qpos = i * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
         kpos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
-        s = jnp.where(kpos <= qpos, s, _NEG_INF)
+        allowed = kpos <= qpos
+        if window > 0:
+            allowed = jnp.logical_and(allowed, kpos > qpos - window)
+        s = jnp.where(allowed, s, _NEG_INF)
         p = jnp.exp(s - lse_ref[0][:, :1])
         gb = g_ref[0].astype(jnp.float32)
         dp = jnp.dot(gb.astype(jnp.bfloat16),

@@ -114,9 +114,9 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
         q, k, v = qkv_project(card, lp, h, cos, sin, positions)
         cache = kvc.write_token(cache, li, k[:, 0], v[:, 0])
         a = None
-        if cache.fmt is QFormat.INT8:
-            # fused kernel reads INT8 codes directly (half the HBM traffic
-            # of dequant-then-attend)
+        if cache.fmt in (QFormat.INT8, QFormat.INT4):
+            # fused kernel reads INT8/packed-INT4 codes directly (1/2 or
+            # 1/4 the HBM traffic of dequant-then-attend)
             lengths = jnp.minimum(cache.pos + 1, cache.size)
             a = decode_attention_int8_or_none(
                 q[:, 0], cache.k[li], cache.v[li], cache.k_scale[li],

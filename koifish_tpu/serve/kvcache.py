@@ -58,11 +58,19 @@ def init_cache(n_layers: int, batch: int, size: int, n_kv_head: int,
         k = jnp.zeros(kshape, jnp.bfloat16)
         v = jnp.zeros(vshape, jnp.bfloat16)
         ks = vs = None
-    elif fmt in (QFormat.INT8, QFormat.INT4):
-        # INT4 stored unpacked in int8 lanes (codes in [-8,7]); the packed
-        # layout only pays off inside a fused Pallas attention kernel.
+    elif fmt is QFormat.INT8:
         k = jnp.zeros(kshape, jnp.int8)
         v = jnp.zeros(vshape, jnp.int8)
+        ks = jnp.zeros(kshape[:4], jnp.float32)
+        vs = jnp.zeros(vshape[:4], jnp.float32)
+    elif fmt is QFormat.INT4:
+        # packed 2 codes/byte, block-split along D: byte i holds elements
+        # i (low nibble) and i + D/2 (high nibble) — unpack is two
+        # contiguous blocks, no lane interleave (same trick as the weight
+        # pack order, docs/DESIGN.md)
+        assert head_dim % 2 == 0 and vd % 2 == 0
+        k = jnp.zeros(kshape[:4] + (head_dim // 2,), jnp.uint8)
+        v = jnp.zeros(vshape[:4] + (vd // 2,), jnp.uint8)
         ks = jnp.zeros(kshape[:4], jnp.float32)
         vs = jnp.zeros(vshape[:4], jnp.float32)
     else:
@@ -86,13 +94,25 @@ def ring_slot(pos: jax.Array, size: int, sinks: int) -> jax.Array:
 
 
 def _quant_kv(x: jax.Array, fmt: QFormat) -> Tuple[jax.Array, jax.Array]:
-    """Per-(token, head) absmax quantization of a K/V vector [..., D]."""
+    """Per-(token, head) absmax quantization of a K/V vector [..., D].
+    INT4 returns block-split packed bytes [..., D//2]."""
     qmax = 127.0 if fmt is QFormat.INT8 else 7.0
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = jnp.maximum(absmax / qmax, 1e-12)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
                  -qmax - 1, qmax).astype(jnp.int8)
+    if fmt is QFormat.INT4:
+        d = q.shape[-1]
+        b = (q + 8).astype(jnp.uint8)
+        q = b[..., : d // 2] | (b[..., d // 2:] << 4)
     return q, scale
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """[..., D//2] uint8 → [..., D] int8 codes in [-8, 7] (block-split)."""
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def advance(cache: KVCache, n) -> KVCache:
@@ -169,6 +189,8 @@ def read_layer(cache: KVCache, layer: int, extra: int = 0,
     valid = jnp.arange(cache.size)[None, :] < jnp.minimum(
         cache.pos + extra, cache.size)[:, None]
     k, v = cache.k[layer], cache.v[layer]          # [B, H, S, D]
+    if cache.fmt is QFormat.INT4:
+        k, v = _unpack_int4(k), _unpack_int4(v)
     if cache.fmt is not QFormat.BF16:
         k = (k.astype(jnp.float32) * cache.k_scale[layer][..., None]).astype(jnp.bfloat16)
         v = (v.astype(jnp.float32) * cache.v_scale[layer][..., None]).astype(jnp.bfloat16)

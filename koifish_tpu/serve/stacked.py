@@ -80,7 +80,7 @@ def decode_step_stacked(card: ModelCard, sparams: Params, token: jax.Array,
             vl = vl.at[bidx, :, slots].set(vq)
             ksl = ksl.at[bidx, :, slots].set(ksc)
             vsl = vsl.at[bidx, :, slots].set(vsc)
-            if cache.fmt is QFormat.INT8:
+            if cache.fmt in (QFormat.INT8, QFormat.INT4):
                 # fused kernel reads codes directly — no bf16 cache copy
                 from koifish_tpu.ops.pallas.decode_attn import (
                     decode_attention_int8_or_none)
@@ -89,9 +89,12 @@ def decode_step_stacked(card: ModelCard, sparams: Params, token: jax.Array,
                     q[:, 0], kl, vl, ksl, vsl, lengths,
                     1.0 / (q.shape[-1] ** 0.5))
             if a is None:
-                kf = (kl.astype(jnp.float32) * ksl[..., None]
+                kd, vd_ = kl, vl
+                if cache.fmt is QFormat.INT4:
+                    kd, vd_ = kvc._unpack_int4(kl), kvc._unpack_int4(vl)
+                kf = (kd.astype(jnp.float32) * ksl[..., None]
                       ).astype(jnp.bfloat16)
-                vf = (vl.astype(jnp.float32) * vsl[..., None]
+                vf = (vd_.astype(jnp.float32) * vsl[..., None]
                       ).astype(jnp.bfloat16)
         else:
             kl = kl.at[bidx, :, slots].set(k1.astype(kl.dtype))

@@ -50,6 +50,41 @@ def test_flash_fwd_matches_ref():
     assert err < 0.03, err
 
 
+@pytest.mark.parametrize("window", [128, 300])
+def test_flash_sliding_window_fwd_bwd(window):
+    """Sliding-window flash (Mistral-class): fwd + grads vs the masked XLA
+    reference — the eligibility guard that forced window models onto the
+    O(T^2) path is gone (VERDICT r1 weak #5)."""
+    key = jax.random.PRNGKey(0)
+    B, T, Hq, Hkv, D = 1, 512, 4, 2, 64
+    q = jax.random.normal(key, (B, T, Hq, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, Hkv, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, Hkv, D), jnp.bfloat16)
+    scale = 1.0 / D ** 0.5
+    ref = causal_attention(q, k, v, scale=scale, window=window, backend="ref")
+    out = pfl.flash_attention_or_none(q, k, v, scale=scale, window=window)
+    assert out is not None
+    err = float(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max())
+    assert err < 0.03, err
+
+    def loss_flash(q, k, v):
+        o = pfl.flash_attention_or_none(q, k, v, scale=scale, window=window)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        o = causal_attention(q, k, v, scale=scale, window=window,
+                             backend="ref")
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max() + 1e-9
+        assert np.abs(a - b).max() / denom < 0.05, f"d{name} window={window}"
+
+
 def test_flash_bwd_matches_ref():
     key = jax.random.PRNGKey(0)
     B, T, Hq, Hkv, D = 1, 512, 4, 2, 64
@@ -107,6 +142,54 @@ def test_decode_attention_int8_kernel():
         assert err < 0.03, err
     finally:
         pda.set_interpret(False)
+
+
+@pytest.mark.parametrize("dv", [64, 128])
+def test_decode_attention_int4_packed_kernel(dv):
+    """Fused decode attention over PACKED INT4 KV codes (2/byte,
+    block-split along D) vs the unpack-then-attend oracle. dv != d covers
+    the MLA shape (K dim != V dim)."""
+    from koifish_tpu.ops.pallas import decode_attn as pda
+    from koifish_tpu.ops.attention import decode_attention
+    from koifish_tpu.serve.kvcache import _quant_kv, _unpack_int4
+    from koifish_tpu.dtypes import QFormat as QF
+    pda.set_interpret(True)
+    try:
+        key = jax.random.PRNGKey(0)
+        B, Hq, Hkv, S, D = 2, 4, 2, 512, 64
+        q = jax.random.normal(key, (B, Hq, D), jnp.bfloat16)
+        kf = jax.random.normal(jax.random.PRNGKey(1), (B, Hkv, S, D))
+        vf = jax.random.normal(jax.random.PRNGKey(2), (B, Hkv, S, dv))
+        kc, ks = _quant_kv(kf, QF.INT4)
+        vc, vs = _quant_kv(vf, QF.INT4)
+        assert kc.dtype == jnp.uint8 and kc.shape[-1] == D // 2
+        lengths = jnp.array([S, 100], jnp.int32)
+        out = pda.decode_attention_quant_or_none(q, kc, vc, ks, vs, lengths,
+                                                 1.0 / D ** 0.5)
+        assert out is not None and out.shape == (B, Hq, dv)
+
+        kd = (_unpack_int4(kc).astype(jnp.float32) * ks[..., None]
+              ).astype(jnp.bfloat16)
+        vd_ = (_unpack_int4(vc).astype(jnp.float32) * vs[..., None]
+               ).astype(jnp.bfloat16)
+        valid = jnp.arange(S)[None, :] < lengths[:, None]
+        ref = decode_attention(q, jnp.moveaxis(kd, 1, 2),
+                               jnp.moveaxis(vd_, 1, 2), valid)
+        err = float(jnp.abs(out.astype(jnp.float32)
+                            - ref.astype(jnp.float32)).max())
+        assert err < 0.03, err
+    finally:
+        pda.set_interpret(False)
+
+
+def test_int4_kv_pack_roundtrip():
+    from koifish_tpu.serve.kvcache import _quant_kv, _unpack_int4
+    from koifish_tpu.dtypes import QFormat as QF
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 7, 64))
+    q, s = _quant_kv(x, QF.INT4)
+    deq = _unpack_int4(q).astype(jnp.float32) * s[..., None]
+    rel = float(jnp.abs(deq - x).max() / jnp.abs(x).max())
+    assert rel < 0.15, rel   # 4-bit absmax error bound
 
 
 @pytest.mark.parametrize("fmt", [QFormat.INT8, QFormat.INT4, QFormat.NF4,

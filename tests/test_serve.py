@@ -85,6 +85,10 @@ def test_quantized_kv_close():
     pf = jax.nn.softmax(ref, -1)
     pq = jax.nn.softmax(q8, -1)
     assert float(jnp.abs(pf - pq).max()) < 0.05
+    # packed INT4 KV (2 codes/byte): looser but still close
+    q4 = _incremental_logits(card, params, tokens, fmt=QFormat.INT4)
+    p4 = jax.nn.softmax(q4, -1)
+    assert float(jnp.abs(pf - p4).max()) < 0.15
 
 
 def test_ring_wrap_decode_runs():
