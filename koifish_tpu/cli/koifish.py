@@ -118,6 +118,8 @@ def main(argv=None) -> int:
     eval_cards = [d for k, d in p.datasets.items() if k.startswith("eval")]
 
     eval_csv = os.path.join(args.out_dir, "Eval.csv")
+    eval_state = {"best": float("inf"), "last": float("inf"),
+                  "no_improve": 0}
 
     def eval_fn(st, it):
         for d in eval_cards:
@@ -130,13 +132,50 @@ def main(argv=None) -> int:
             ce, ppl = perplexity(card, st.params,
                                  eds.batches(tcard.batch, card.n_ctx),
                                  max_batches=max(int(8 * d.samp * 10), 2))
-            print(f"[eval {d.name}@{it}] ce={ce:.4f} ppl={ppl:.2f}")
+            # overfit / no-improvement heuristics (UpdateStepInfos analog,
+            # reference TokenSet.cpp:603-619, Optimizer.hpp:69)
+            best = eval_state["best"]
+            overfit = (ce > eval_state["last"]
+                       and abs(ce - best) > best / 10)
+            if ce < best:
+                eval_state["best"] = ce
+                eval_state["no_improve"] = 0
+            else:
+                eval_state["no_improve"] += 1
+            eval_state["last"] = ce
+            flagmsg = " !OVERFIT!" if overfit else ""
+            if eval_state["no_improve"] >= 3:
+                flagmsg += f" (no improvement x{eval_state['no_improve']})"
+            print(f"[eval {d.name}@{it}] ce={ce:.4f} ppl={ppl:.2f}{flagmsg}")
             new = not os.path.exists(eval_csv)
             with open(eval_csv, "a") as f:   # Eval.csv artifact (ref analog)
                 if new:
                     f.write("iter,dataset,ce,ppl\n")
                 f.write(f"{it},{d.name},{ce:.6f},{ppl:.4f}\n")
         return {}
+
+    # in-training chat sample every gpt_every iters (Optimizer::Evaluate's
+    # chat hook, reference Optimizer.cpp:717-749; config train.gpt-every)
+    gpt_tok = None
+    if tcard.gpt_every > 0 and p.hf_card:
+        from koifish_tpu.data import BPETokenizer
+        try:
+            gpt_tok = BPETokenizer.from_file(p.hf_card)
+        except Exception as e:
+            print(f"[koifish] gpt-every disabled (no tokenizer): {e}")
+
+    def gpt_sample(st, it):
+        from koifish_tpu.config import SamplerCard
+        from koifish_tpu.serve import generate, init_cache
+        prompt_text = (p.prompts[0] if p.prompts else "Once upon a time")
+        ids = gpt_tok.encode(prompt_text)[: card.n_ctx // 2] or [0]
+        cache = init_cache(card.n_layer, 1, min(card.n_ctx, 256),
+                           card.n_kv_head, card.head_dim)
+        toks, _ = generate(card, st.params,
+                           jax.numpy.asarray([ids], jax.numpy.int32), cache,
+                           SamplerCard(temperature=0.0), max_new_tokens=24)
+        print(f"[gpt@{it}] {prompt_text!r} -> "
+              f"{gpt_tok.decode([int(t) for t in toks[0]])!r}")
 
     ckpt_dir = (p.checkpoint_out.path if p.checkpoint_out else args.out_dir)
     os.makedirs(ckpt_dir or ".", exist_ok=True)
@@ -182,9 +221,16 @@ def main(argv=None) -> int:
             state = init_train_state(
                 card, tcard, params=quantize_params(state.params, qcard, card))
 
+    hooks = []
+    if gpt_tok is not None:
+        def gpt_hook(st, it, loss):
+            if it and it % tcard.gpt_every == 0:
+                gpt_sample(st, it)
+            return None
+        hooks.append(gpt_hook)
+
     # Fuyou EOE swarm: rotate branches every `switch` iters (reference
     # ExploreOptimization hook, gLLM.cpp:673-677; config model.fuyou)
-    hook_fn = None
     if p.fuyou:
         import dataclasses as _dc
         from koifish_tpu.train.fuyou import Fuyou, FuyouConfig
@@ -194,7 +240,7 @@ def main(argv=None) -> int:
         fy_losses = []
         fy_rng = jax.random.PRNGKey(p.seed + 1)
 
-        def hook_fn(st, it, loss, _fy=fy, _l=fy_losses):
+        def fuyou_hook(st, it, loss, _fy=fy, _l=fy_losses):
             _l.append(loss)
             if (it + 1) % fcfg.switch:
                 return None
@@ -205,9 +251,19 @@ def main(argv=None) -> int:
             print(f"[fuyou] iter {it}: rotate -> branch {_fy.cur} "
                   f"(best={_fy.best}, score={recent:.4f})")
             return _dc.replace(st, params=new_params)
+        hooks.append(fuyou_hook)
 
         print(f"[koifish] fuyou swarm: {fcfg.branches} branches, "
               f"switch={fcfg.switch}, method={fcfg.method}")
+
+    hook_fn = None
+    if hooks:
+        def hook_fn(st, it, loss):
+            for h in hooks:
+                new = h(st, it, loss)
+                if new is not None:
+                    st = new
+            return st
 
     wandb_run = None
     if args.wandb:

@@ -323,6 +323,7 @@ class TrainCard:
     int8_wgrad: bool = False         # experimental: int8 wgrad too
     dump_every: int = 10
     eval_every: int = 100
+    gpt_every: int = 0               # in-training chat sample cadence
     save_every: int = 0
     most_iter: int = -1              # cap iterations (DEBUG.N_mostiter analog)
     seed: int = 42
@@ -336,6 +337,8 @@ class TrainCard:
         card.warmup = int(jt.get("warmup", card.warmup))
         card.dump_every = int(jt.get("dump-every", card.dump_every))
         card.save_every = int(jt.get("save-every", card.save_every))
+        card.gpt_every = int(jt.get("gpt-every", card.gpt_every))
+        card.eval_every = int(jt.get("eval-every", card.eval_every))
         opt = jt.get("optimizatioin", jt.get("optimization", {}))  # sic — reference key
         card.optimizer = str(opt.get("method", card.optimizer)).lower()
         card.grad_accum = int(opt.get("grad_accumulation", card.grad_accum))

@@ -67,6 +67,30 @@ def test_koifish_train_cli(tmp_path, tiny_hf):
     assert last < first * 0.5, f"loss {first} -> {last}"
 
 
+def test_koifish_gpt_every_cli(tmp_path, tiny_hf):
+    """train.gpt-every produces in-training chat samples (the reference's
+    Optimizer::Evaluate chat hook, Optimizer.cpp:717-749)."""
+    hf_dir, card = tiny_hf
+    seq = (np.arange(40000) % 64).astype(np.uint32)
+    write_shard(str(tmp_path / "p_train_0.bin"), seq, MAGIC_QWEN3, 300)
+    cfg = {
+        "model": {"arch": "QWEN3", "hf-card": hf_dir},
+        "train": {"batch": 8, "learning-rate": 0.01, "dump-every": 50,
+                  "warmup": 3, "gpt-every": 8,
+                  "optimizatioin": {"method": "adamw"}},
+        "datasets": {"train": {"glob": str(tmp_path / "p_train_*.bin"),
+                               "name": "pattern"}},
+        "debug": {"most_iter": 17},
+        "seed": 42,
+    }
+    cfgp = str(tmp_path / "cfg.json")
+    with open(cfgp, "w") as f:
+        json.dump(cfg, f)
+    r = run_cli("koifish", cfgp, "--device", "cpu", "--out-dir", str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "[gpt@8]" in r.stdout and "[gpt@16]" in r.stdout, r.stdout[-1500:]
+
+
 def test_koifish_fuyou_cli(tmp_path):
     """The `model.fuyou` config key changes the training run (swarm
     rotation logs + a different loss trajectory) — mirrors the
