@@ -40,6 +40,8 @@ class QFormat(enum.Enum):
     INT2 = "int2"       # 4 codes / byte
     TERNARY = "ternary"  # {-1,0,+1}, 4 codes / byte (2b each), per-group scale
     BINARY = "binary"    # {-1,+1}, 8 codes / byte, per-group scale
+    QJL = "qjl"          # KV-only: sign-of-JL-projection keys + norms
+                         # (reference Q_JL research mode, quantizer.cu:844)
 
     @property
     def bits(self) -> int:

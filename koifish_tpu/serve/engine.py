@@ -121,6 +121,19 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
             a = decode_attention_int8_or_none(
                 q[:, 0], cache.k[li], cache.v[li], cache.k_scale[li],
                 cache.v_scale[li], lengths, att_scale)
+        elif cache.fmt is QFormat.QJL:
+            from koifish_tpu.ops.qjl import (qjl_decode_attention,
+                                             qjl_projection)
+            proj = qjl_projection(card.head_dim,
+                                  kvc.QJL_SKETCH_RATIO * card.head_dim,
+                                  kvc.QJL_SEED)
+            vl = (cache.v[li].astype(jnp.float32)
+                  * cache.v_scale[li][..., None]).astype(jnp.bfloat16)
+            valid = jnp.arange(cache.size)[None, :] < jnp.minimum(
+                cache.pos + 1, cache.size)[:, None]
+            a = qjl_decode_attention(q[:, 0], cache.k[li],
+                                     cache.k_scale[li], vl, valid, proj,
+                                     att_scale)
         if a is None:
             kc, vc, valid = kvc.read_layer(cache, li, extra=1)
             a = decode_attention(q[:, 0], kc, vc, valid)

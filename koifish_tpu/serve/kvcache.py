@@ -20,6 +20,9 @@ import jax.numpy as jnp
 
 from koifish_tpu.dtypes import QFormat
 
+QJL_SKETCH_RATIO = 2   # sketch dim m = ratio * head_dim (QJL accuracy knob)
+QJL_SEED = 20260713    # fixed projection seed (XI_CARD mask_seed default)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -72,6 +75,14 @@ def init_cache(n_layers: int, batch: int, size: int, n_kv_head: int,
         k = jnp.zeros(kshape[:4] + (head_dim // 2,), jnp.uint8)
         v = jnp.zeros(vshape[:4] + (vd // 2,), jnp.uint8)
         ks = jnp.zeros(kshape[:4], jnp.float32)
+        vs = jnp.zeros(vshape[:4], jnp.float32)
+    elif fmt is QFormat.QJL:
+        # keys = sign-of-JL-projection bits (m = QJL_SKETCH_RATIO * D) +
+        # per-key norms in k_scale; values INT8 (ops/qjl.py)
+        m = QJL_SKETCH_RATIO * head_dim
+        k = jnp.zeros(kshape[:4] + (m // 8,), jnp.uint8)
+        v = jnp.zeros(vshape, jnp.int8)
+        ks = jnp.zeros(kshape[:4], jnp.float32)    # norms
         vs = jnp.zeros(vshape[:4], jnp.float32)
     else:
         raise ValueError(f"unsupported KV format {fmt}")
@@ -138,6 +149,16 @@ def write_token(cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
         k = upd(cache.k, k_new.astype(cache.k.dtype))
         v = upd(cache.v, v_new.astype(cache.v.dtype))
         ks, vs = cache.k_scale, cache.v_scale
+    elif cache.fmt is QFormat.QJL:
+        from koifish_tpu.ops.qjl import qjl_encode_keys, qjl_projection
+        proj = qjl_projection(k_new.shape[-1],
+                              QJL_SKETCH_RATIO * k_new.shape[-1], QJL_SEED)
+        kq, knorm = qjl_encode_keys(k_new, proj)
+        vq, vsc = _quant_kv(v_new, QFormat.INT8)
+        k = upd(cache.k, kq)
+        v = upd(cache.v, vq)
+        ks = upd(cache.k_scale, knorm)
+        vs = upd(cache.v_scale, vsc)
     else:
         kq, ksc = _quant_kv(k_new, cache.fmt)
         vq, vsc = _quant_kv(v_new, cache.fmt)
@@ -167,6 +188,16 @@ def write_prefill(cache: KVCache, layer: int, k_new: jax.Array,
         k = upd(cache.k, k_new.astype(cache.k.dtype))
         v = upd(cache.v, v_new.astype(cache.v.dtype))
         ks, vs = cache.k_scale, cache.v_scale
+    elif cache.fmt is QFormat.QJL:
+        from koifish_tpu.ops.qjl import qjl_encode_keys, qjl_projection
+        proj = qjl_projection(k_new.shape[-1],
+                              QJL_SKETCH_RATIO * k_new.shape[-1], QJL_SEED)
+        kq, knorm = qjl_encode_keys(k_new, proj)
+        vq, vsc = _quant_kv(v_new, QFormat.INT8)
+        k = upd(cache.k, kq)
+        v = upd(cache.v, vq)
+        ks = upd(cache.k_scale, knorm)
+        vs = upd(cache.v_scale, vsc)
     else:
         kq, ksc = _quant_kv(k_new, cache.fmt)
         vq, vsc = _quant_kv(v_new, cache.fmt)
@@ -186,6 +217,9 @@ def read_layer(cache: KVCache, layer: int, extra: int = 0,
     Quantized caches are dequantized here; the fused Pallas decode-attention
     kernel (ops/pallas/decode_attn.py) reads codes directly instead.
     """
+    if cache.fmt is QFormat.QJL:
+        raise ValueError("QJL keys are sign sketches — not reconstructible; "
+                         "use ops.qjl.qjl_decode_attention")
     valid = jnp.arange(cache.size)[None, :] < jnp.minimum(
         cache.pos + extra, cache.size)[:, None]
     k, v = cache.k[layer], cache.v[layer]          # [B, H, S, D]
