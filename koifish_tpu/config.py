@@ -272,7 +272,7 @@ class QuantCard:
             if not isinstance(spec, dict) or "bits" not in spec:
                 continue
             method = spec.get("quant_method", "RTN").upper()
-            nf = method in ("RTNF", "NF")
+            nf = method in ("RTNF", "NF", "CLUSTER", "KMEANS")
             fmt = qformat_from_bits(int(spec["bits"]), nf=nf)
             card.rules.append(QuantRule(
                 pattern=name, fmt=fmt,

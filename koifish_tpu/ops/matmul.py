@@ -43,7 +43,14 @@ def _dequant(w: Weight, dtype) -> jax.Array:
 def qmatmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
     """``x @ w`` with ``w`` possibly quantized. x: [..., in], w: [in, out]."""
     out_dtype = out_dtype or x.dtype
-    if isinstance(w, QTensor) and _BACKEND != "ref":
+    if isinstance(w, QTensor) and w.row_scale is not None:
+        # Sinkhorn row factors fold into the activations (free fusion):
+        # y = x @ (r . wq) = (x * r) @ wq
+        import dataclasses
+        x = (x.astype(jnp.float32) * w.row_scale.astype(jnp.float32)
+             ).astype(x.dtype)
+        w = dataclasses.replace(w, row_scale=None)
+    if isinstance(w, QTensor) and _BACKEND != "ref" and w.codebook is None:
         from koifish_tpu.ops.pallas import matmul as pmm
         y = pmm.qmatmul_pallas_or_ref(x, w, out_dtype)
         return y

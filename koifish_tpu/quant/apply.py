@@ -45,6 +45,14 @@ def quantize_params(params: Dict[str, Any], qcard: QuantCard,
         mat = w.T if head_layout else w       # embeddings -> head layout [E,V]
         if mat.shape[0] % rule.group:
             return w
+        if rule.method in ("CLUSTER", "KMEANS"):
+            from koifish_tpu.quant.cluster import quantize_kmeans
+            return quantize_kmeans(jnp.asarray(mat), bits=rule.fmt.bits,
+                                   group=rule.group)
+        if rule.method in ("SNQ", "SINKHORN"):
+            from koifish_tpu.quant.cluster import quantize_sinkhorn
+            return quantize_sinkhorn(jnp.asarray(mat), rule.fmt,
+                                     group=rule.group)
         return quantize(jnp.asarray(mat), rule.fmt, group=rule.group,
                         symmetric=rule.symmetric)
 

@@ -87,6 +87,12 @@ class QTensor:
     fmt: QFormat = dataclasses.field(default=QFormat.INT8, metadata=dict(static=True))
     shape: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     group: int = dataclasses.field(default=DEFAULT_GROUP, metadata=dict(static=True))
+    # learned per-tensor codebook (k-means / Q_Cluster mode) — overrides
+    # the global NF codebooks when set
+    codebook: Optional[jax.Array] = None
+    # per-in-row scale from Sinkhorn normalization (SinkNormal mode);
+    # folds into activations: y = (x * row_scale) @ deq(codes)
+    row_scale: Optional[jax.Array] = None
 
     @property
     def in_features(self) -> int:
@@ -120,7 +126,9 @@ class QTensor:
             codes = self.codes.astype(jnp.float32)
         else:
             raw = unpack_codes(self.codes, fmt, n_in, group=self.group)
-            if fmt.is_codebook:
+            if self.codebook is not None:
+                codes = self.codebook.astype(jnp.float32)[raw.astype(jnp.int32)]
+            elif fmt.is_codebook:
                 codes = codebook_for(fmt)[raw.astype(jnp.int32)]
             elif fmt is QFormat.BINARY:
                 codes = raw.astype(jnp.float32) * 2.0 - 1.0
@@ -136,4 +144,7 @@ class QTensor:
         w = codes * self.scales.astype(jnp.float32)[:, None, :]
         if self.zeros is not None:
             w = w + self.zeros.astype(jnp.float32)[:, None, :]
-        return w.reshape(self.shape).astype(dtype)
+        w = w.reshape(self.shape)
+        if self.row_scale is not None:   # Sinkhorn row factors
+            w = w * self.row_scale.astype(jnp.float32)[:, None]
+        return w.astype(dtype)

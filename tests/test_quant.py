@@ -108,3 +108,53 @@ def test_per_layer_quant_rule_filter():
     assert not isinstance(qp["layers"][0]["q"], QTensor)
     assert not isinstance(qp["layers"][2]["q"], QTensor)
     assert not isinstance(qp["layers"][1]["gate"], QTensor)
+
+
+def test_kmeans_cluster_quantization():
+    """Q_Cluster analog: learned per-tensor codebook beats/matches the
+    fixed NF4 grid on a non-Gaussian (bimodal) weight distribution."""
+    import jax
+    import jax.numpy as jnp
+    from koifish_tpu.dtypes import QFormat
+    from koifish_tpu.quant.cluster import quantize_kmeans
+    from koifish_tpu.quant.rtn import quant_error, quantize
+    key = jax.random.PRNGKey(0)
+    w = jnp.concatenate([
+        jax.random.normal(key, (64, 128)) * 0.02 + 0.1,
+        jax.random.normal(jax.random.PRNGKey(1), (64, 128)) * 0.02 - 0.1,
+    ])
+    qk = quantize_kmeans(w, bits=4, group=64)
+    assert qk.codebook is not None and qk.codebook.shape == (16,)
+    err_k = float(quant_error(w, qk))
+    err_nf = float(quant_error(w, quantize(w, QFormat.NF4, group=64)))
+    assert err_k < err_nf, (err_k, err_nf)
+    assert err_k < 0.1
+
+
+def test_sinkhorn_quantization_matmul():
+    """SinkNormal analog: factors reconstruct exactly; the row factors
+    fold into activations inside qmatmul."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from koifish_tpu.dtypes import QFormat
+    from koifish_tpu.ops.matmul import qmatmul
+    from koifish_tpu.quant.cluster import quantize_sinkhorn, sinkhorn_normalize
+    from koifish_tpu.quant.rtn import quant_error, quantize
+    key = jax.random.PRNGKey(0)
+    # imbalanced rows/cols: per-row scale spread x per-col spread
+    w = jax.random.normal(key, (128, 128)) * \
+        jnp.exp(jax.random.normal(jax.random.PRNGKey(1), (128, 1))) * \
+        jnp.exp(jax.random.normal(jax.random.PRNGKey(2), (1, 128)))
+    wn, r, c = sinkhorn_normalize(w)
+    np.testing.assert_allclose(np.asarray(r[:, None] * wn * c[None, :]),
+                               np.asarray(w, np.float32), rtol=1e-4)
+    qs = quantize_sinkhorn(w, QFormat.INT4, group=64)
+    err_s = float(quant_error(w, qs))
+    err_rtn = float(quant_error(w, quantize(w, QFormat.INT4, group=64)))
+    assert err_s < err_rtn, (err_s, err_rtn)
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 128), jnp.bfloat16)
+    y = qmatmul(x, qs, out_dtype=jnp.float32)
+    ref = jnp.dot(x.astype(jnp.float32), qs.dequantize(jnp.float32))
+    rel = float(jnp.abs(y - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert rel < 0.05, rel
