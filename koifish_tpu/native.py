@@ -55,6 +55,18 @@ def load_native() -> Optional[ctypes.CDLL]:
     lib.kts_gather.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+    lib.kst_open.restype = ctypes.c_void_p
+    lib.kst_open.argtypes = [ctypes.c_char_p]
+    lib.kst_count.restype = ctypes.c_int32
+    lib.kst_count.argtypes = [ctypes.c_void_p]
+    lib.kst_info.restype = ctypes.c_int32
+    lib.kst_info.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.kst_data.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.kst_data.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.kst_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -158,6 +170,59 @@ class NativeShard:
         try:
             if getattr(self, "_h", None):
                 self._lib.kts_close(self._h)
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Safetensors reader (K_SafeTensors::MMAP analog, Serialize.cpp:428)
+# ---------------------------------------------------------------------------
+
+class NativeSafetensors:
+    """C++ mmap'd safetensors file; tensors() returns zero-copy numpy
+    views over the mapped data region."""
+
+    def __init__(self, path: str) -> None:
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.kst_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot parse safetensors {path}")
+        self.n = lib.kst_count(self._h)
+
+    def tensors(self):
+        """→ {name: np view} (dtype mapped via io.safetensors tables;
+        unknown dtype names fall back to raw uint8 bytes)."""
+        from koifish_tpu.io.safetensors import _DTYPES
+        from koifish_tpu.io.kun import _KOI_DTYPES
+        out = {}
+        for i in range(self.n):
+            name = ctypes.create_string_buffer(512)
+            dt = ctypes.create_string_buffer(16)
+            shape = (ctypes.c_int64 * 8)()
+            offs = (ctypes.c_uint64 * 2)()
+            nd = self._lib.kst_info(self._h, i, name, 512, dt, shape, 8,
+                                    offs)
+            if nd < 0:
+                raise IOError(f"bad tensor entry {i}")
+            nbytes = offs[1] - offs[0]
+            ptr = self._lib.kst_data(self._h, i)
+            buf = np.ctypeslib.as_array(ptr, shape=(nbytes,))
+            dname = dt.value.decode()
+            np_dt = _DTYPES.get(dname) or _KOI_DTYPES.get(dname)
+            arr = buf.view(np_dt) if np_dt is not None else buf
+            dims = tuple(shape[j] for j in range(nd))
+            if np_dt is not None and int(np.prod(dims)) == arr.size:
+                arr = arr.reshape(dims)
+            out[name.value.decode()] = arr
+        return out
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.kst_close(self._h)
         except Exception:
             pass
 

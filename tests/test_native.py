@@ -56,3 +56,41 @@ def test_native_shard_gather(tmp_path):
     assert sh2.bpt == 2
     np.testing.assert_array_equal(sh2.gather(np.array([10], np.int64), 20)[0],
                                   np.arange(10, 30, dtype=np.int32))
+
+
+def test_native_safetensors_matches_python_reader(tmp_path):
+    """C++ mmap safetensors parser (K_SafeTensors::MMAP analog) returns
+    byte-identical views vs the python reader, incl. the koifish .kun
+    header dialect with extra keys."""
+    import numpy as np
+    import ml_dtypes
+    import pytest
+    from koifish_tpu.native import NativeSafetensors, native_available
+    from koifish_tpu.io.safetensors import read_safetensors, write_safetensors
+    from koifish_tpu.io.kun import write_kun
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    tensors = {
+        "a.weight": rng.standard_normal((33, 16), dtype=np.float32),
+        "b/bias": rng.standard_normal((8,), dtype=np.float32
+                                      ).astype(ml_dtypes.bfloat16),
+        "c": rng.integers(0, 255, (4, 4), dtype=np.uint8),
+    }
+    p = str(tmp_path / "m.safetensors")
+    write_safetensors(p, tensors, metadata={"x": "1"})
+    nst = NativeSafetensors(p)
+    ref, _ = read_safetensors(p)
+    got = nst.tensors()
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(got[k]).view(np.uint8),
+                                      np.asarray(ref[k]).view(np.uint8))
+    # koifish dialect (.kun with msgpack config tensor + extra keys)
+    kp = str(tmp_path / "m.kun")
+    write_kun(kp, {"seed": 1}, {"w": tensors["a.weight"]})
+    nk = NativeSafetensors(kp)
+    kt = nk.tensors()
+    assert "__koifish__config__" in kt and "w" in kt
+    np.testing.assert_array_equal(np.asarray(kt["w"]),
+                                  tensors["a.weight"])
