@@ -67,7 +67,6 @@ def main(argv=None) -> int:
     t0 = time.time()
     if hf_dir.endswith((".kun", ".ckp")):
         # reference single-file model (config embedded as msgpack tensor)
-        import os
         from koifish_tpu.io.hf_loader import load_kun_model
         card, params, _kcfg = load_kun_model(hf_dir)
         tkdir = os.path.dirname(hf_dir) or "."

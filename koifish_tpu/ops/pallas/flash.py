@@ -2,9 +2,27 @@
 
 Replaces the reference's cuDNN flash-attention graphs (src/Device/CUDA/
 QKV.cu:130-313, fwd+bwd cached per shape). Online-softmax blocked
-attention with GQA (via head replication), causal masking; backward is
-the standard two-kernel flash recipe (dKdV sweep + dQ sweep) using the
-forward's logsumexp — memory stays O(T) end to end.
+attention with GQA, causal masking (+ sliding window); backward is the
+flash recipe using the forward's logsumexp — memory stays O(T).
+
+TPU-specific design (round-2 overhaul, from xprof device traces):
+
+- All s = q·kᵀ dots run with **bf16 operands** (f32 accumulate): f32
+  operands would run the MXU at ~1/3 rate and dominated the round-1
+  kernel's time.
+- lse / delta travel as **[bh, t, 1] column arrays** (block
+  (1, BQ, 1) — lane dim 1 equals the array dim, so Mosaic accepts it
+  and `ref[0]` yields the (BQ, 1) column natively) instead of the
+  round-1 [bh, t, 128] lane-broadcast arrays, which cost ~200 MB of
+  HBM traffic per layer-backward.
+- GQA is handled by **index maps** (kv block index = q head // group):
+  no jnp.repeat materialization of K/V per q-head.
+- When the whole sequence fits one tile (t == BQ == BK, the ≤1024-ctx
+  training config) the backward collapses to **one fused kernel**
+  computing dq, dk, dv in a single pass — 5 MXU dots instead of the
+  two-sweep recipe's 7 (s and dp are not recomputed).
+- Kernels write bf16 grads directly (the cast was a separate XLA pass
+  in round 1); dk/dv accumulate over the q-group in-kernel.
 
 Falls back to None (caller uses the XLA path) when shapes don't qualify.
 """
@@ -20,9 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 # preferred tiles, shrunk per shape by _tiles(); 1024x1024 measured fastest
-# on v5e for the GPT2-124M train step (116.2K tok/s vs 105.7K @512/512 vs
-# 82K @256/256) — bigger KV tiles amortize the online-softmax rescale.
-# See docs/DESIGN.md.
+# on v5e for the GPT2-124M train step. See docs/DESIGN.md.
 BQ = 1024
 BK = 1024
 
@@ -75,29 +91,28 @@ def flash_attention_or_none(q, k, v, *, scale: float, window: int = 0
 
 
 # ---------------------------------------------------------------------------
-# layout: [B, T, H, D] -> [B*H, T, D] with KV heads replicated per group
+# layout: [B, T, H, D] -> [B*H, T, D]; KV heads stay unexpanded — kernels
+# map q-head h to kv block h // g via the BlockSpec index maps.
 # ---------------------------------------------------------------------------
 
-def _to_heads(q, k, v):
-    b, t, hq, d = q.shape
-    hkv = k.shape[2]
-    g = hq // hkv
-    qh = q.transpose(0, 2, 1, 3).reshape(b * hq, t, d)
-    kh = jnp.repeat(k.transpose(0, 2, 1, 3), g, axis=1).reshape(b * hq, t, d)
-    vh = jnp.repeat(v.transpose(0, 2, 1, 3), g, axis=1).reshape(b * hq, t, d)
-    return qh, kh, vh
+def _head_major(x):
+    b, t, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_diff(q, k, v, scale, window):
-    out, _ = _flash_fwd_call(*_to_heads(q, k, v), scale=scale, window=window)
+    out, _ = _flash_fwd_call(_head_major(q), _head_major(k), _head_major(v),
+                             g=q.shape[2] // k.shape[2], scale=scale,
+                             window=window)
     b, t, hq, d = q.shape
     return out.reshape(b, hq, t, d).transpose(0, 2, 1, 3)
 
 
 def _flash_diff_fwd(q, k, v, scale, window):
-    qh, kh, vh = _to_heads(q, k, v)
-    out, lse = _flash_fwd_call(qh, kh, vh, scale=scale, window=window)
+    qh, kh, vh = _head_major(q), _head_major(k), _head_major(v)
+    out, lse = _flash_fwd_call(qh, kh, vh, g=q.shape[2] // k.shape[2],
+                               scale=scale, window=window)
     b, t, hq, d = q.shape
     o4 = out.reshape(b, hq, t, d).transpose(0, 2, 1, 3)
     return o4, (qh, kh, vh, out, lse, q.shape, k.shape[2])
@@ -106,15 +121,13 @@ def _flash_diff_fwd(q, k, v, scale, window):
 def _flash_diff_bwd(scale, window, res, g):
     qh, kh, vh, out, lse, qshape, hkv = res
     b, t, hq, d = qshape
-    gh = g.transpose(0, 2, 1, 3).reshape(b * hq, t, d)
-    dq, dk, dv = _flash_bwd_call(qh, kh, vh, out, lse, gh, scale=scale,
-                                 window=window)
-    dq4 = dq.reshape(b, hq, t, d).transpose(0, 2, 1, 3).astype(jnp.bfloat16)
-    # sum replicated-head grads back into the hkv KV heads
-    gsz = hq // hkv
-    dk4 = dk.reshape(b, hkv, gsz, t, d).sum(2).transpose(0, 2, 1, 3)
-    dv4 = dv.reshape(b, hkv, gsz, t, d).sum(2).transpose(0, 2, 1, 3)
-    return dq4, dk4.astype(jnp.bfloat16), dv4.astype(jnp.bfloat16)
+    gh = _head_major(g)
+    dq, dk, dv = _flash_bwd_call(qh, kh, vh, out, lse, gh, hkv=hkv,
+                                 scale=scale, window=window)
+    dq4 = dq.reshape(b, hq, t, d).transpose(0, 2, 1, 3)
+    dk4 = dk.reshape(b, hkv, t, d).transpose(0, 2, 1, 3)
+    dv4 = dv.reshape(b, hkv, t, d).transpose(0, 2, 1, 3)
+    return dq4, dk4, dv4
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
@@ -124,8 +137,8 @@ _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 # forward
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("scale", "window"))
-def _flash_fwd_call(qh, kh, vh, *, scale: float, window: int = 0):
+@functools.partial(jax.jit, static_argnames=("g", "scale", "window"))
+def _flash_fwd_call(qh, kh, vh, *, g: int, scale: float, window: int = 0):
     bh, t, d = qh.shape
     bq, bk = _tiles(t)
     grid = (bh, t // bq, t // bk)
@@ -134,17 +147,22 @@ def _flash_fwd_call(qh, kh, vh, *, scale: float, window: int = 0):
                           window=window),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h // g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h // g, j, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 128), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, t, d), qh.dtype),
-            jax.ShapeDtypeStruct((bh, t, 128), jnp.float32),  # lse (lane-bcast)
+            jax.ShapeDtypeStruct((bh, t, 1), jnp.float32),  # logsumexp cols
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
@@ -161,7 +179,7 @@ def _flash_fwd_call(qh, kh, vh, *, scale: float, window: int = 0):
             transcendentals=bh * t * t // 2,
         ),
     )(qh, kh, vh)
-    return out, lse[:, :, 0]
+    return out, lse
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, o_acc, m_acc, l_acc,
@@ -176,15 +194,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, o_acc, m_acc, l_acc,
         l_acc[:] = jnp.zeros_like(l_acc)
 
     # tile live iff some (qpos, kpos) pair passes causal (+window) masks
-    live = j <= i
+    live = j * BK <= i * BQ + (BQ - 1)
     if window > 0:
         live = jnp.logical_and(live, (j + 1) * BK > i * BQ - window)
 
     @pl.when(live)
     def _():
-        qb = q_ref[0].astype(jnp.float32) * scale
-        kb = k_ref[0].astype(jnp.float32)
-        s = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32)
+        # bf16 operands: f32 operands run the MXU at ~1/3 rate
+        qb = (q_ref[0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        s = jnp.dot(qb, k_ref[0].T, preferred_element_type=jnp.float32)
         qpos = i * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
         kpos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
         allowed = kpos <= qpos
@@ -198,7 +216,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, o_acc, m_acc, l_acc,
         alpha = jnp.exp(m_prev - m_new)
         l_acc[:] = l_acc[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         o_acc[:] = o_acc[:] * alpha + jnp.dot(
-            p.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+            p.astype(jnp.bfloat16), v_ref[0],
             preferred_element_type=jnp.float32)
         m_acc[:] = m_new
 
@@ -206,123 +224,267 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, o_acc, m_acc, l_acc,
     def _():
         l = jnp.maximum(l_acc[:], 1e-30)
         o_ref[0] = (o_acc[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = jnp.broadcast_to(m_acc[:] + jnp.log(l), (BQ, 128))
+        lse_ref[0] = m_acc[:] + jnp.log(l)
 
 
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("scale", "window"))
-def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, scale: float,
+@functools.partial(jax.jit, static_argnames=("hkv", "scale", "window"))
+def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, hkv: int, scale: float,
                     window: int = 0):
     bh, t, d = qh.shape
-    BQ, BK = _tiles(t)
-    # D_i = rowsum(dO ∘ O) — cheap elementwise, leave to XLA
+    bq, bk = _tiles(t)
+    g = qh.shape[0] // kh.shape[0]
+    # D_i = rowsum(dO ∘ O): cheap XLA reduction to compact [bh, t] rows
     delta = jnp.sum(gh.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1)                                     # [bh, t]
-    delta = jnp.broadcast_to(delta[:, :, None], (bh, t, 128))
-    lse_b = jnp.broadcast_to(lse[:, :, None], (bh, t, 128))
+                    axis=-1, keepdims=True)                    # [bh, t, 1]
 
-    # --- dK/dV sweep: grid over kv tiles, q tiles sequential -------------
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, BQ=BQ, BK=BK,
+    if t == bq == bk:
+        return _bwd_fused(qh, kh, vh, gh, lse, delta, g=g, scale=scale,
+                          window=window, d=d, t=t)
+    return _bwd_twopass(qh, kh, vh, gh, lse, delta, g=g, scale=scale,
+                        window=window, bq=bq, bk=bk)
+
+
+def _bwd_fused(qh, kh, vh, gh, lse, delta, *, g, scale, window, d, t):
+    """One kernel, whole sequence in VMEM: dq,dk,dv in a single pass.
+
+    Grid (b·hkv, g): the group dim is sequential, dk/dv accumulate over
+    it in scratch; dq is written per q-head. 5 MXU dots (vs 7 for the
+    two-sweep recipe: s and dp are shared between the dk/dv and dq
+    halves).
+    """
+    bh, _, _ = qh.shape
+    bkv = kh.shape[0]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale, T=t,
                           window=window),
-        grid=(bh, t // BK, t // BQ),
+        grid=(bkv, g),
         in_specs=[
-            pl.BlockSpec((1, BQ, d), lambda h, j, i: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, d), lambda h, j, i: (h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, d), lambda h, j, i: (h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, d), lambda h, j, i: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, 128), lambda h, j, i: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, 128), lambda h, j, i: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda h, gi: (h * g + gi, 0, 0),
+                         memory_space=pltpu.VMEM),                 # q
+            pl.BlockSpec((1, t, d), lambda h, gi: (h, 0, 0),
+                         memory_space=pltpu.VMEM),                 # k
+            pl.BlockSpec((1, t, d), lambda h, gi: (h, 0, 0),
+                         memory_space=pltpu.VMEM),                 # v
+            pl.BlockSpec((1, t, d), lambda h, gi: (h * g + gi, 0, 0),
+                         memory_space=pltpu.VMEM),                 # dO
+            pl.BlockSpec((1, t, 1), lambda h, gi: (h * g + gi, 0, 0),
+                         memory_space=pltpu.VMEM),                 # lse
+            pl.BlockSpec((1, t, 1), lambda h, gi: (h * g + gi, 0, 0),
+                         memory_space=pltpu.VMEM),                 # delta
         ],
         out_specs=(
-            pl.BlockSpec((1, BK, d), lambda h, j, i: (h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, d), lambda h, j, i: (h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda h, gi: (h * g + gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda h, gi: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda h, gi: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bkv, t, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bkv, t, d), jnp.bfloat16),
         ),
         scratch_shapes=[
-            pltpu.VMEM((BK, d), jnp.float32),
-            pltpu.VMEM((BK, d), jnp.float32),
+            pltpu.VMEM((t, d), jnp.float32),   # dk accum over group
+            pltpu.VMEM((t, d), jnp.float32),   # dv accum over group
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_INTERPRET,
-    )(qh, kh, vh, gh, lse_b, delta)
-
-    # --- dQ sweep: grid over q tiles, kv tiles sequential ----------------
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, BQ=BQ, BK=BK,
-                          window=window),
-        grid=(bh, t // BQ, t // BK),
-        in_specs=[
-            pl.BlockSpec((1, BQ, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, 128), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, 128), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BQ, d), lambda h, i, j: (h, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((BQ, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * bh * t * t * d,
+            bytes_accessed=8 * bh * t * d * 2,
+            transcendentals=bh * t * t,
         ),
-        interpret=_INTERPRET,
-    )(qh, kh, vh, gh, lse_b, delta)
+    )(qh, kh, vh, gh, lse, delta)
     return dq, dk, dv
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, BQ, BK,
-                    window=0):
-    j = pl.program_id(1)   # kv tile (parallel)
-    i = pl.program_id(2)   # q tile (sequential)
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                      *, scale, T, window=0):
+    gi = pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when(gi == 0)
     def _():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    live = i >= j
+    qb = q_ref[0]
+    kb = k_ref[0]
+    gb = g_ref[0]
+    qs = (qb.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    s = jnp.dot(qs, kb.T, preferred_element_type=jnp.float32)   # [T, T]
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    allowed = kpos <= qpos
+    if window > 0:
+        allowed = jnp.logical_and(allowed, kpos > qpos - window)
+    s = jnp.where(allowed, s, _NEG_INF)
+    p = jnp.exp(s - lse_ref[0])                                  # [T, T]
+    pb = p.astype(jnp.bfloat16)
+    # dv += pᵀ dO ;  dp = dO vᵀ ;  ds = p (dp − delta) scale
+    dv_acc[:] += jax.lax.dot_general(
+        pb, gb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jnp.dot(gb, v_ref[0].T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0]) * scale
+    dsb = ds.astype(jnp.bfloat16)
+    dk_acc[:] += jax.lax.dot_general(
+        dsb, qb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_ref[0] = jnp.dot(dsb, kb,
+                        preferred_element_type=jnp.float32
+                        ).astype(dq_ref.dtype)
+
+    @pl.when(gi == pl.num_programs(1) - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_twopass(qh, kh, vh, gh, lse, delta, *, g, scale, window, bq, bk):
+    """General path (t > max tile): dK/dV sweep + dQ sweep."""
+    bh, t, d = qh.shape
+    bkv = kh.shape[0]
+
+    # --- dK/dV sweep: grid over kv heads x kv tiles; (q tile, group)
+    # sequential — dk/dv accumulate across both ------------------------
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, BQ=bq, BK=bk,
+                          G=g, window=window),
+        grid=(bkv, t // bk, (t // bq) * g),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), functools.partial(_q_map, g=g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda h, j, ig: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda h, j, ig: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), functools.partial(_q_map, g=g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), functools.partial(_r_map, g=g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), functools.partial(_r_map, g=g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda h, j, ig: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda h, j, ig: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bkv, t, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bkv, t, d), jnp.bfloat16),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(qh, kh, vh, gh, lse, delta)
+
+    # --- dQ sweep: grid over q heads x q tiles, kv tiles sequential ----
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, BQ=bq, BK=bk,
+                          window=window),
+        grid=(bh, t // bq, t // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d),
+                         functools.partial(_kv_map, g=g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), functools.partial(_kv_map, g=g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(qh, kh, vh, gh, lse, delta)
+    return dq, dk, dv
+
+
+def _q_map(h, j, ig, *, g):
+    """q/dO block for the dkv sweep: kv head h, group member ig%g,
+    q tile ig//g."""
+    return (h * g + ig % g, ig // g, 0)
+
+
+def _r_map(h, j, ig, *, g):
+    """lse/delta column block for the dkv sweep."""
+    return (h * g + ig % g, ig // g, 0)
+
+
+def _kv_map(h, i, j, *, g):
+    """k/v block for the dq sweep: q head h -> kv head h // g."""
+    return (h // g, j, 0)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, BQ, BK, G,
+                    window=0):
+    j = pl.program_id(1)            # kv tile (parallel)
+    ig = pl.program_id(2)           # (q tile, group member) sequential
+    i = ig // G
+
+    @pl.when(ig == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    live = i * BQ + (BQ - 1) >= j * BK
     if window > 0:
         live = jnp.logical_and(live, (j + 1) * BK > i * BQ - window)
 
     @pl.when(live)
     def _():
-        qb = q_ref[0].astype(jnp.float32)
-        kb = k_ref[0].astype(jnp.float32)
-        s = jnp.dot(qb * scale, kb.T, preferred_element_type=jnp.float32)
+        qb = q_ref[0]
+        kb = k_ref[0]
+        qs = (qb.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        s = jnp.dot(qs, kb.T, preferred_element_type=jnp.float32)
         qpos = i * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
         kpos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
         allowed = kpos <= qpos
         if window > 0:
             allowed = jnp.logical_and(allowed, kpos > qpos - window)
         s = jnp.where(allowed, s, _NEG_INF)
-        p = jnp.exp(s - lse_ref[0][:, :1])                 # [BQ, BK]
-        gb = g_ref[0].astype(jnp.float32)
-        dv_acc[:] += jnp.dot(p.astype(jnp.bfloat16).T,
-                             gb.astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
-        dp = jnp.dot(gb.astype(jnp.bfloat16),
-                     v_ref[0].astype(jnp.bfloat16).T,
-                     preferred_element_type=jnp.float32)   # [BQ, BK]
-        ds = p * (dp - delta_ref[0][:, :1]) * scale
-        dk_acc[:] += jnp.dot(ds.astype(jnp.bfloat16).T,
-                             qb.astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse_ref[0])                        # [BQ, BK]
+        gb = g_ref[0]
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(jnp.bfloat16), gb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jnp.dot(gb, v_ref[0].T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0]) * scale
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(jnp.bfloat16), qb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    @pl.when(i == pl.num_programs(2) - 1)
+    @pl.when(ig == pl.num_programs(2) - 1)
     def _():
-        dk_ref[0] = dk_acc[:]
-        dv_ref[0] = dv_acc[:]
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
@@ -334,31 +496,29 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     def _():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    live = j <= i
+    live = j * BK <= i * BQ + (BQ - 1)
     if window > 0:
         live = jnp.logical_and(live, (j + 1) * BK > i * BQ - window)
 
     @pl.when(live)
     def _():
-        qb = q_ref[0].astype(jnp.float32)
-        kb = k_ref[0].astype(jnp.float32)
-        s = jnp.dot(qb * scale, kb.T, preferred_element_type=jnp.float32)
+        qb = q_ref[0]
+        kb = k_ref[0]
+        qs = (qb.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        s = jnp.dot(qs, kb.T, preferred_element_type=jnp.float32)
         qpos = i * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
         kpos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
         allowed = kpos <= qpos
         if window > 0:
             allowed = jnp.logical_and(allowed, kpos > qpos - window)
         s = jnp.where(allowed, s, _NEG_INF)
-        p = jnp.exp(s - lse_ref[0][:, :1])
-        gb = g_ref[0].astype(jnp.float32)
-        dp = jnp.dot(gb.astype(jnp.bfloat16),
-                     v_ref[0].astype(jnp.bfloat16).T,
-                     preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0][:, :1]) * scale
-        dq_acc[:] += jnp.dot(ds.astype(jnp.bfloat16),
-                             k_ref[0].astype(jnp.bfloat16),
+        p = jnp.exp(s - lse_ref[0])
+        gb = g_ref[0]
+        dp = jnp.dot(gb, v_ref[0].T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0]) * scale
+        dq_acc[:] += jnp.dot(ds.astype(jnp.bfloat16), kb,
                              preferred_element_type=jnp.float32)
 
     @pl.when(j == pl.num_programs(2) - 1)
     def _():
-        dq_ref[0] = dq_acc[:]
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
