@@ -26,18 +26,68 @@ def cross_entropy_loss(
     Per-token masked CE, same semantics as the reference's per-token CE →
     running-mean PPL pipeline (``LossOnResult``, src/TokenSet/TokenSet.cpp:392)
     and SFT label masks (MASK_FLAG, DataLoader.hpp:73-79).
+
+    Custom VJP: XLA's autodiff of logsumexp saves the f32 softmax as a
+    residual (3.3 GB for GPT2's 50k vocab at B=16 — xprof showed it as
+    the single hottest fusion). Here the backward recomputes
+    p = exp(logits - lse) from the bf16 logits + the [B,T] lse, so only
+    O(B·T) residuals persist and dlogits streams at logits dtype.
     """
+    if z_loss:
+        # z-loss path is rare (MoE aux) — plain autodiff version
+        lf = logits.astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(lf, axis=-1)
+        gold = jnp.take_along_axis(lf, targets[..., None], axis=-1)[..., 0]
+        per_tok = lse - gold + z_loss * jnp.square(lse)
+        if mask is None:
+            return per_tok.mean(), per_tok
+        m = mask.astype(jnp.float32)
+        denom = jnp.maximum(m.sum(), 1.0)
+        return (per_tok * m).sum() / denom, per_tok
+    return _ce(logits, targets, mask)
+
+
+@jax.custom_vjp
+def _ce(logits, targets, mask):
+    loss, per_tok, _ = _ce_fwd_impl(logits, targets, mask)
+    return loss, per_tok
+
+
+def _ce_fwd_impl(logits, targets, mask):
     lf = logits.astype(jnp.float32)
     lse = jax.scipy.special.logsumexp(lf, axis=-1)
     gold = jnp.take_along_axis(lf, targets[..., None], axis=-1)[..., 0]
     per_tok = lse - gold
-    if z_loss:
-        per_tok = per_tok + z_loss * jnp.square(lse)
     if mask is None:
-        return per_tok.mean(), per_tok
+        return per_tok.mean(), per_tok, lse
     m = mask.astype(jnp.float32)
     denom = jnp.maximum(m.sum(), 1.0)
-    return (per_tok * m).sum() / denom, per_tok
+    return (per_tok * m).sum() / denom, per_tok, lse
+
+
+def _ce_fwd(logits, targets, mask):
+    loss, per_tok, lse = _ce_fwd_impl(logits, targets, mask)
+    return (loss, per_tok), (logits, targets, mask, lse)
+
+
+def _ce_bwd(res, cts):
+    g_loss, g_tok = cts
+    logits, targets, mask, lse = res
+    B, T, V = logits.shape
+    if mask is None:
+        w = jnp.full((B, T), 1.0 / (B * T), jnp.float32) * g_loss
+    else:
+        m = mask.astype(jnp.float32)
+        w = m / jnp.maximum(m.sum(), 1.0) * g_loss
+    w = w + g_tok.astype(jnp.float32)             # per-token cotangent
+    # dlogits = (softmax - onehot) * w  — p recomputed, one streamed pass
+    p = jnp.exp(logits.astype(jnp.float32) - lse[..., None])
+    onehot = jax.nn.one_hot(targets, V, dtype=jnp.float32)
+    dlogits = ((p - onehot) * w[..., None]).astype(logits.dtype)
+    return dlogits, None, None
+
+
+_ce.defvjp(_ce_fwd, _ce_bwd)
 
 
 def fused_ce_loss(

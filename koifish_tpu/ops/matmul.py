@@ -61,7 +61,13 @@ def qmatmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
                 and w.shape[1] >= 256:
             return int8_matmul(x, w).astype(out_dtype)
     wd = _dequant(w, x.dtype)
-    return jnp.dot(x, wd, preferred_element_type=jnp.float32).astype(out_dtype)
+    # emit the dot at the target dtype directly: dot->f32->convert(bf16)
+    # leaves an f32 alias that XLA happily re-uses for other consumers —
+    # for the lm head that materialized f32[B,T,V] logits (3.3 GB on
+    # GPT2) purely to feed the CE reductions. MXU accumulation is f32
+    # internally either way.
+    pref = out_dtype if jnp.dtype(out_dtype).itemsize <= 2 else jnp.float32
+    return jnp.dot(x, wd, preferred_element_type=pref).astype(out_dtype)
 
 
 def linear(x: jax.Array, w: Weight, b: Optional[jax.Array] = None,

@@ -237,18 +237,18 @@ def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, hkv: int, scale: float,
     bh, t, d = qh.shape
     bq, bk = _tiles(t)
     g = qh.shape[0] // kh.shape[0]
-    # D_i = rowsum(dO ∘ O): cheap XLA reduction to compact [bh, t] rows
-    delta = jnp.sum(gh.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1, keepdims=True)                    # [bh, t, 1]
-
+    # delta = rowsum(dO ∘ O) is recomputed inside the kernels from the
+    # dO and O tiles: materializing it as a [bh,t,1] array costs a
+    # {1,0,2}->{2,1,0} relayout copy at every pallas boundary (~0.3 ms
+    # each on v5e — XLA won't no-op the degenerate-dim relayout).
     if t == bq == bk:
-        return _bwd_fused(qh, kh, vh, gh, lse, delta, g=g, scale=scale,
+        return _bwd_fused(qh, kh, vh, gh, out, lse, g=g, scale=scale,
                           window=window, d=d, t=t)
-    return _bwd_twopass(qh, kh, vh, gh, lse, delta, g=g, scale=scale,
+    return _bwd_twopass(qh, kh, vh, gh, out, lse, g=g, scale=scale,
                         window=window, bq=bq, bk=bk)
 
 
-def _bwd_fused(qh, kh, vh, gh, lse, delta, *, g, scale, window, d, t):
+def _bwd_fused(qh, kh, vh, gh, out, lse, *, g, scale, window, d, t):
     """One kernel, whole sequence in VMEM: dq,dk,dv in a single pass.
 
     Grid (b·hkv, g): the group dim is sequential, dk/dv accumulate over
@@ -271,10 +271,10 @@ def _bwd_fused(qh, kh, vh, gh, lse, delta, *, g, scale, window, d, t):
                          memory_space=pltpu.VMEM),                 # v
             pl.BlockSpec((1, t, d), lambda h, gi: (h * g + gi, 0, 0),
                          memory_space=pltpu.VMEM),                 # dO
+            pl.BlockSpec((1, t, d), lambda h, gi: (h * g + gi, 0, 0),
+                         memory_space=pltpu.VMEM),                 # O
             pl.BlockSpec((1, t, 1), lambda h, gi: (h * g + gi, 0, 0),
                          memory_space=pltpu.VMEM),                 # lse
-            pl.BlockSpec((1, t, 1), lambda h, gi: (h * g + gi, 0, 0),
-                         memory_space=pltpu.VMEM),                 # delta
         ],
         out_specs=(
             pl.BlockSpec((1, t, d), lambda h, gi: (h * g + gi, 0, 0),
@@ -302,11 +302,11 @@ def _bwd_fused(qh, kh, vh, gh, lse, delta, *, g, scale, window, d, t):
             bytes_accessed=8 * bh * t * d * 2,
             transcendentals=bh * t * t,
         ),
-    )(qh, kh, vh, gh, lse, delta)
+    )(qh, kh, vh, gh, out, lse)
     return dq, dk, dv
 
 
-def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
                       dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                       *, scale, T, window=0):
     gi = pl.program_id(1)
@@ -334,7 +334,9 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         pb, gb, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dp = jnp.dot(gb, v_ref[0].T, preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0]) * scale
+    delta = jnp.sum(gb.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)                      # [T, 1]
+    ds = p * (dp - delta) * scale
     dsb = ds.astype(jnp.bfloat16)
     dk_acc[:] += jax.lax.dot_general(
         dsb, qb, (((0,), (0,)), ((), ())),
@@ -349,7 +351,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd_twopass(qh, kh, vh, gh, lse, delta, *, g, scale, window, bq, bk):
+def _bwd_twopass(qh, kh, vh, gh, out, lse, *, g, scale, window, bq, bk):
     """General path (t > max tile): dK/dV sweep + dQ sweep."""
     bh, t, d = qh.shape
     bkv = kh.shape[0]
@@ -369,7 +371,7 @@ def _bwd_twopass(qh, kh, vh, gh, lse, delta, *, g, scale, window, bq, bk):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, d), functools.partial(_q_map, g=g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 1), functools.partial(_r_map, g=g),
+            pl.BlockSpec((1, bq, d), functools.partial(_q_map, g=g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, 1), functools.partial(_r_map, g=g),
                          memory_space=pltpu.VMEM),
@@ -392,7 +394,7 @@ def _bwd_twopass(qh, kh, vh, gh, lse, delta, *, g, scale, window, bq, bk):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_INTERPRET,
-    )(qh, kh, vh, gh, lse, delta)
+    )(qh, kh, vh, gh, out, lse)
 
     # --- dQ sweep: grid over q heads x q tiles, kv tiles sequential ----
     dq = pl.pallas_call(
@@ -409,7 +411,7 @@ def _bwd_twopass(qh, kh, vh, gh, lse, delta, *, g, scale, window, bq, bk):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 1), lambda h, i, j: (h, i, 0),
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, 1), lambda h, i, j: (h, i, 0),
                          memory_space=pltpu.VMEM),
@@ -422,7 +424,7 @@ def _bwd_twopass(qh, kh, vh, gh, lse, delta, *, g, scale, window, bq, bk):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_INTERPRET,
-    )(qh, kh, vh, gh, lse, delta)
+    )(qh, kh, vh, gh, out, lse)
     return dq, dk, dv
 
 
@@ -433,7 +435,7 @@ def _q_map(h, j, ig, *, g):
 
 
 def _r_map(h, j, ig, *, g):
-    """lse/delta column block for the dkv sweep."""
+    """lse column block for the dkv sweep."""
     return (h * g + ig % g, ig // g, 0)
 
 
@@ -442,7 +444,7 @@ def _kv_map(h, i, j, *, g):
     return (h // g, j, 0)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc, *, scale, BQ, BK, G,
                     window=0):
     j = pl.program_id(1)            # kv tile (parallel)
@@ -476,7 +478,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
             p.astype(jnp.bfloat16), gb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jnp.dot(gb, v_ref[0].T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0]) * scale
+        delta = jnp.sum(gb.astype(jnp.float32) *
+                        o_ref[0].astype(jnp.float32), axis=-1,
+                        keepdims=True)
+        ds = p * (dp - delta) * scale
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(jnp.bfloat16), qb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -487,7 +492,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
                    dq_ref, dq_acc, *, scale, BQ, BK, window=0):
     i = pl.program_id(1)   # q tile (parallel)
     j = pl.program_id(2)   # kv tile (sequential)
@@ -515,7 +520,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         p = jnp.exp(s - lse_ref[0])
         gb = g_ref[0]
         dp = jnp.dot(gb, v_ref[0].T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0]) * scale
+        delta = jnp.sum(gb.astype(jnp.float32) *
+                        o_ref[0].astype(jnp.float32), axis=-1,
+                        keepdims=True)
+        ds = p * (dp - delta) * scale
         dq_acc[:] += jnp.dot(ds.astype(jnp.bfloat16), kb,
                              preferred_element_type=jnp.float32)
 
