@@ -230,8 +230,11 @@ def lm_head(card: ModelCard, params: Params, x: jax.Array,
     wte = params["wte"]
     if isinstance(wte, QTensor):            # head layout [E, V]
         return qmatmul(x, wte, out_dtype=out_dtype)
-    return jnp.dot(x, wte.T.astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(out_dtype)
+    # tied head routes through qmatmul so int8-training GEMMs (the FP8
+    # head GEMM analog) cover the largest dot in the step; the wte.T
+    # transpose folds into the quantize reductions / dot, never
+    # materialized.
+    return qmatmul(x, wte.T, out_dtype=out_dtype)
 
 
 def model_forward(

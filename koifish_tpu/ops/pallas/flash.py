@@ -82,11 +82,37 @@ def _eligible(q, k, window: int) -> bool:
     )
 
 
+def _col_cfg(hq: int, hkv: int, d: int) -> Optional[tuple]:
+    """Heads-per-block config for the transpose-free column path.
+
+    Returns (hb, hbk, g) — q-heads and kv-heads per block — or None when
+    the shape can't keep Mosaic's 128-lane block rule AND single-program
+    kv-head ownership (g | hb). hb*d targets 256 lanes (512-byte DMA
+    rows measured fastest on v5e; 128-byte rows ran 19% slower)."""
+    g = hq // hkv
+    for hb in (256 // d if d <= 256 else 1, 128 // d, 1):
+        if hb < 1 or hq % hb or (hb * d) % 128:
+            continue
+        if g <= hb and hb % g == 0 and ((hb // g) * d) % 128 == 0:
+            return hb, hb // g, g
+    return None
+
+
 def flash_attention_or_none(q, k, v, *, scale: float, window: int = 0
                             ) -> Optional[jax.Array]:
     """Differentiable causal flash attention (Pallas fwd + bwd kernels)."""
     if not _eligible(q, k, window):
         return None
+    b, t, hq, d = q.shape
+    if _col_cfg(hq, k.shape[2], d) is not None:
+        # transpose-free path: kernels consume the QKV projection's
+        # native [B, T, H*D] layout via column BlockSpecs — the
+        # [B,T,H,D]<->[B,H,T,D] relayout copies (96 per GPT2 step,
+        # ~25 MB each) disappear from the HLO entirely.
+        out = _flash_cols_diff(q.reshape(b, t, hq * d),
+                               k.reshape(b, t, -1), v.reshape(b, t, -1),
+                               hq, scale, window)
+        return out.reshape(b, t, hq, d)
     return _flash_diff(q, k, v, scale, window)
 
 
@@ -526,6 +552,432 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
         ds = p * (dp - delta) * scale
         dq_acc[:] += jnp.dot(ds.astype(jnp.bfloat16), kb,
                              preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# column-native path: kernels consume [B, T, H*D] directly
+# ---------------------------------------------------------------------------
+# The head-major path above must materialize [B,T,H,D] -> [B,H,T,D]
+# relayout copies at every pallas boundary (q,k,v,out fwd + dO,dq,dk,dv
+# bwd = 8 copies x ~25 MB per GPT2 layer-step). Here the BlockSpecs cut
+# (tile, HB*D) column windows straight out of the projection output:
+# grid dim 0 enumerates (batch, head-group); per-head work inside the
+# kernel uses static lane slices. lse lives as [B, G, T, HB] so its
+# block's last dim equals the array dim (Mosaic's small-lane rule).
+# Ownership invariant (_col_cfg): every kv head's full q-group sits in
+# one program (g | HB), so dk/dv accumulate in-program - no cross-program
+# reduction, and the fused single-tile backward needs no scratch at all.
+
+def _cols_map(G):
+    return lambda bg, i, j: (bg // G, i, bg % G)
+
+
+def _cols_map_j(G):
+    return lambda bg, i, j: (bg // G, j, bg % G)
+
+
+def _lse_map(G):
+    return lambda bg, i, j: (bg // G, bg % G, i, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_cols_diff(qc, kc, vc, hq, scale, window):
+    out, _ = _flash_cols_fwd_call(qc, kc, vc, hq=hq, scale=scale,
+                                  window=window)
+    return out
+
+
+def _flash_cols_diff_fwd(qc, kc, vc, hq, scale, window):
+    out, lse = _flash_cols_fwd_call(qc, kc, vc, hq=hq, scale=scale,
+                                    window=window)
+    return out, (qc, kc, vc, out, lse)
+
+
+def _flash_cols_diff_bwd(hq, scale, window, res, g):
+    qc, kc, vc, out, lse = res
+    return _flash_cols_bwd_call(qc, kc, vc, out, lse, g, hq=hq,
+                                scale=scale, window=window)
+
+
+_flash_cols_diff.defvjp(_flash_cols_diff_fwd, _flash_cols_diff_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("hq", "scale", "window"))
+def _flash_cols_fwd_call(qc, kc, vc, *, hq: int, scale: float,
+                         window: int = 0):
+    b, t, hqd = qc.shape
+    d = hqd // hq
+    hkv = kc.shape[2] // d
+    hb, hbk, g = _col_cfg(hq, hkv, d)
+    G = hq // hb
+    bq, bk = _tiles(t)
+    grid = (b * G, t // bq, t // bk)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_cols_kernel, scale=scale, BQ=bq, BK=bk,
+                          HB=hb, D=d, GQ=g, window=window),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, hb * d), _cols_map(G),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hbk * d), _cols_map_j(G),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hbk * d), _cols_map_j(G),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, hb * d), _cols_map(G),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, hb), _lse_map(G),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, hqd), qc.dtype),
+            jax.ShapeDtypeStruct((b, G, t, hb), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, hb * d), jnp.float32),   # o accum
+            pltpu.VMEM((bq, hb), jnp.float32),       # running max
+            pltpu.VMEM((bq, hb), jnp.float32),       # running sum
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * hq * t * t * d,
+            bytes_accessed=4 * b * t * hqd * 2,
+            transcendentals=b * hq * t * t // 2,
+        ),
+    )(qc, kc, vc)
+    return out, lse
+
+
+def _fwd_cols_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                     o_acc, m_acc, l_acc, *, scale, BQ, BK, HB, D, GQ,
+                     window=0):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        o_acc[:] = jnp.zeros_like(o_acc)
+        m_acc[:] = jnp.full_like(m_acc, _NEG_INF)
+        l_acc[:] = jnp.zeros_like(l_acc)
+
+    live = j * BK <= i * BQ + (BQ - 1)
+    if window > 0:
+        live = jnp.logical_and(live, (j + 1) * BK > i * BQ - window)
+
+    @pl.when(live)
+    def _():
+        qpos = i * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+        kpos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+        allowed = kpos <= qpos
+        if window > 0:
+            allowed = jnp.logical_and(allowed, kpos > qpos - window)
+        qb = q_ref[0]
+        kb = k_ref[0]
+        vb = v_ref[0]
+        m_new_c, l_new_c, o_new_c = [], [], []
+        for hh in range(HB):
+            ql = (qb[:, hh * D:(hh + 1) * D].astype(jnp.float32) * scale
+                  ).astype(jnp.bfloat16)
+            kvc = (hh // GQ) * D
+            s = jnp.dot(ql, kb[:, kvc:kvc + D].T,
+                        preferred_element_type=jnp.float32)
+            s = jnp.where(allowed, s, _NEG_INF)
+            m_prev = m_acc[:, hh:hh + 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new_c.append(l_acc[:, hh:hh + 1] * alpha +
+                           jnp.sum(p, axis=-1, keepdims=True))
+            o_new_c.append(o_acc[:, hh * D:(hh + 1) * D] * alpha + jnp.dot(
+                p.astype(jnp.bfloat16), vb[:, kvc:kvc + D],
+                preferred_element_type=jnp.float32))
+            m_new_c.append(m_new)
+        m_acc[:] = jnp.concatenate(m_new_c, axis=-1)
+        l_acc[:] = jnp.concatenate(l_new_c, axis=-1)
+        o_acc[:] = jnp.concatenate(o_new_c, axis=-1)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        l = jnp.maximum(l_acc[:], 1e-30)                      # (BQ, HB)
+        o = jnp.concatenate(
+            [o_acc[:, hh * D:(hh + 1) * D] / l[:, hh:hh + 1]
+             for hh in range(HB)], axis=-1)
+        o_ref[0] = o.astype(o_ref.dtype)
+        lse_ref[0, 0] = m_acc[:] + jnp.log(l)
+
+
+@functools.partial(jax.jit, static_argnames=("hq", "scale", "window"))
+def _flash_cols_bwd_call(qc, kc, vc, out, lse, gc, *, hq: int, scale: float,
+                         window: int = 0):
+    b, t, hqd = qc.shape
+    d = hqd // hq
+    hkv = kc.shape[2] // d
+    hb, hbk, g = _col_cfg(hq, hkv, d)
+    G = hq // hb
+    bq, bk = _tiles(t)
+    if t == bq == bk:
+        return _bwd_cols_fused(qc, kc, vc, gc, out, lse, G=G, hb=hb,
+                               hbk=hbk, g=g, d=d, scale=scale,
+                               window=window, t=t)
+    return _bwd_cols_twopass(qc, kc, vc, gc, out, lse, G=G, hb=hb,
+                             hbk=hbk, g=g, d=d, scale=scale,
+                             window=window, bq=bq, bk=bk)
+
+
+def _bwd_cols_fused(qc, kc, vc, gc, out, lse, *, G, hb, hbk, g, d, scale,
+                    window, t):
+    """Single-tile fused backward: grid (b*G,), whole group in one
+    program - dq,dk,dv in one pass, zero scratch (kv ownership makes
+    the group accumulation a plain in-program loop)."""
+    b = qc.shape[0]
+    qspec = pl.BlockSpec((1, t, hb * d), lambda bg: (bg // G, 0, bg % G),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, t, hbk * d), lambda bg: (bg // G, 0, bg % G),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, 1, t, hb), lambda bg: (bg // G, bg % G, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_cols_fused_kernel, scale=scale, T=t,
+                          HB=hb, HBK=hbk, D=d, GQ=g, window=window),
+        grid=(b * G,),
+        in_specs=[qspec, kspec, kspec, qspec, qspec, lspec],
+        out_specs=(qspec, kspec, kspec),
+        out_shape=(
+            jax.ShapeDtypeStruct(qc.shape, jnp.bfloat16),
+            jax.ShapeDtypeStruct(kc.shape, jnp.bfloat16),
+            jax.ShapeDtypeStruct(vc.shape, jnp.bfloat16),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * G * hb * t * t * d,
+            bytes_accessed=8 * b * t * hb * G * d * 2,
+            transcendentals=b * G * hb * t * t,
+        ),
+    )(qc, kc, vc, gc, out, lse)
+    return dq, dk, dv
+
+
+def _bwd_cols_fused_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
+                           dq_ref, dk_ref, dv_ref, *, scale, T, HB, HBK,
+                           D, GQ, window=0):
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    allowed = kpos <= qpos
+    if window > 0:
+        allowed = jnp.logical_and(allowed, kpos > qpos - window)
+    qb, kb, vb, gb, ob = q_ref[0], k_ref[0], v_ref[0], g_ref[0], o_ref[0]
+    lse_b = lse_ref[0, 0]                                      # (T, HB)
+    dq_c = []
+    dk_c = [None] * HBK
+    dv_c = [None] * HBK
+    for hh in range(HB):
+        kv = hh // GQ
+        kvc = kv * D
+        ql = qb[:, hh * D:(hh + 1) * D]
+        kl = kb[:, kvc:kvc + D]
+        vl = vb[:, kvc:kvc + D]
+        gl = gb[:, hh * D:(hh + 1) * D]
+        ol = ob[:, hh * D:(hh + 1) * D]
+        qs = (ql.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        s = jnp.dot(qs, kl.T, preferred_element_type=jnp.float32)
+        s = jnp.where(allowed, s, _NEG_INF)
+        p = jnp.exp(s - lse_b[:, hh:hh + 1])
+        pb = p.astype(jnp.bfloat16)
+        dv_h = jax.lax.dot_general(pb, gl, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dp = jnp.dot(gl, vl.T, preferred_element_type=jnp.float32)
+        delta = jnp.sum(gl.astype(jnp.float32) * ol.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale
+        dsb = ds.astype(jnp.bfloat16)
+        dk_h = jax.lax.dot_general(dsb, ql, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dq_c.append(jnp.dot(dsb, kl, preferred_element_type=jnp.float32))
+        dk_c[kv] = dk_h if dk_c[kv] is None else dk_c[kv] + dk_h
+        dv_c[kv] = dv_h if dv_c[kv] is None else dv_c[kv] + dv_h
+    dq_ref[0] = jnp.concatenate(dq_c, axis=-1).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.concatenate(dk_c, axis=-1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dv_c, axis=-1).astype(dv_ref.dtype)
+
+
+def _bwd_cols_twopass(qc, kc, vc, gc, out, lse, *, G, hb, hbk, g, d, scale,
+                      window, bq, bk):
+    """General path (t > max tile): dK/dV sweep + dQ sweep, column
+    blocks, q-group accumulation in-program."""
+    b, t, _ = qc.shape
+    qspec_i = pl.BlockSpec((1, bq, hb * d), _cols_map(G),
+                           memory_space=pltpu.VMEM)
+    kspec_j = pl.BlockSpec((1, bk, hbk * d), _cols_map_j(G),
+                           memory_space=pltpu.VMEM)
+    lspec_i = pl.BlockSpec((1, 1, bq, hb), _lse_map(G),
+                           memory_space=pltpu.VMEM)
+    # dK/dV sweep: grid (b*G, kv tile j, q tile i-sequential)
+    qspec_seq = pl.BlockSpec((1, bq, hb * d),
+                             lambda bg, j, i: (bg // G, i, bg % G),
+                             memory_space=pltpu.VMEM)
+    lspec_seq = pl.BlockSpec((1, 1, bq, hb),
+                             lambda bg, j, i: (bg // G, bg % G, i, 0),
+                             memory_space=pltpu.VMEM)
+    kspec_par = pl.BlockSpec((1, bk, hbk * d),
+                             lambda bg, j, i: (bg // G, j, bg % G),
+                             memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_cols_dkv_kernel, scale=scale, BQ=bq, BK=bk,
+                          HB=hb, HBK=hbk, D=d, GQ=g, window=window),
+        grid=(b * G, t // bk, t // bq),
+        in_specs=[qspec_seq, kspec_par, kspec_par, qspec_seq, qspec_seq,
+                  lspec_seq],
+        out_specs=(kspec_par, kspec_par),
+        out_shape=(
+            jax.ShapeDtypeStruct(kc.shape, jnp.bfloat16),
+            jax.ShapeDtypeStruct(vc.shape, jnp.bfloat16),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, hbk * d), jnp.float32),
+            pltpu.VMEM((bk, hbk * d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(qc, kc, vc, gc, out, lse)
+
+    # dQ sweep: grid (b*G, q tile i, kv tile j-sequential)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_cols_dq_kernel, scale=scale, BQ=bq, BK=bk,
+                          HB=hb, HBK=hbk, D=d, GQ=g, window=window),
+        grid=(b * G, t // bq, t // bk),
+        in_specs=[qspec_i, kspec_j, kspec_j, qspec_i, qspec_i, lspec_i],
+        out_specs=qspec_i,
+        out_shape=jax.ShapeDtypeStruct(qc.shape, jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bq, hb * d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(qc, kc, vc, gc, out, lse)
+    return dq, dk, dv
+
+
+def _bwd_cols_dkv_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
+                         dk_ref, dv_ref, dk_acc, dv_acc, *, scale, BQ, BK,
+                         HB, HBK, D, GQ, window=0):
+    j = pl.program_id(1)            # kv tile (parallel)
+    i = pl.program_id(2)            # q tile (sequential)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    live = i * BQ + (BQ - 1) >= j * BK
+    if window > 0:
+        live = jnp.logical_and(live, (j + 1) * BK > i * BQ - window)
+
+    @pl.when(live)
+    def _():
+        qpos = i * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+        kpos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+        allowed = kpos <= qpos
+        if window > 0:
+            allowed = jnp.logical_and(allowed, kpos > qpos - window)
+        qb, kb, vb, gb, ob = (q_ref[0], k_ref[0], v_ref[0], g_ref[0],
+                              o_ref[0])
+        lse_b = lse_ref[0, 0]
+        dk_c = [None] * HBK
+        dv_c = [None] * HBK
+        for hh in range(HB):
+            kv = hh // GQ
+            kvc = kv * D
+            ql = qb[:, hh * D:(hh + 1) * D]
+            gl = gb[:, hh * D:(hh + 1) * D]
+            ol = ob[:, hh * D:(hh + 1) * D]
+            qs = (ql.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+            s = jnp.dot(qs, k_ref[0][:, kvc:kvc + D].T,
+                        preferred_element_type=jnp.float32)
+            s = jnp.where(allowed, s, _NEG_INF)
+            p = jnp.exp(s - lse_b[:, hh:hh + 1])
+            dv_h = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), gl, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jnp.dot(gl, vb[:, kvc:kvc + D].T,
+                         preferred_element_type=jnp.float32)
+            delta = jnp.sum(gl.astype(jnp.float32) *
+                            ol.astype(jnp.float32), axis=-1, keepdims=True)
+            ds = p * (dp - delta) * scale
+            dk_h = jax.lax.dot_general(
+                ds.astype(jnp.bfloat16), ql, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_c[kv] = dk_h if dk_c[kv] is None else dk_c[kv] + dk_h
+            dv_c[kv] = dv_h if dv_c[kv] is None else dv_c[kv] + dv_h
+        dk_acc[:] += jnp.concatenate(dk_c, axis=-1)
+        dv_acc[:] += jnp.concatenate(dv_c, axis=-1)
+
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_cols_dq_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
+                        dq_ref, dq_acc, *, scale, BQ, BK, HB, HBK, D, GQ,
+                        window=0):
+    i = pl.program_id(1)   # q tile (parallel)
+    j = pl.program_id(2)   # kv tile (sequential)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    live = j * BK <= i * BQ + (BQ - 1)
+    if window > 0:
+        live = jnp.logical_and(live, (j + 1) * BK > i * BQ - window)
+
+    @pl.when(live)
+    def _():
+        qpos = i * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+        kpos = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+        allowed = kpos <= qpos
+        if window > 0:
+            allowed = jnp.logical_and(allowed, kpos > qpos - window)
+        qb, kb, vb, gb, ob = (q_ref[0], k_ref[0], v_ref[0], g_ref[0],
+                              o_ref[0])
+        lse_b = lse_ref[0, 0]
+        dq_c = []
+        for hh in range(HB):
+            kvc = (hh // GQ) * D
+            ql = qb[:, hh * D:(hh + 1) * D]
+            gl = gb[:, hh * D:(hh + 1) * D]
+            ol = ob[:, hh * D:(hh + 1) * D]
+            qs = (ql.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+            s = jnp.dot(qs, kb[:, kvc:kvc + D].T,
+                        preferred_element_type=jnp.float32)
+            s = jnp.where(allowed, s, _NEG_INF)
+            p = jnp.exp(s - lse_b[:, hh:hh + 1])
+            dp = jnp.dot(gl, vb[:, kvc:kvc + D].T,
+                         preferred_element_type=jnp.float32)
+            delta = jnp.sum(gl.astype(jnp.float32) *
+                            ol.astype(jnp.float32), axis=-1, keepdims=True)
+            ds = p * (dp - delta) * scale
+            dq_c.append(jnp.dot(ds.astype(jnp.bfloat16),
+                                kb[:, kvc:kvc + D],
+                                preferred_element_type=jnp.float32))
+        dq_acc[:] += jnp.concatenate(dq_c, axis=-1)
 
     @pl.when(j == pl.num_programs(2) - 1)
     def _():

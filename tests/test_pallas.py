@@ -206,3 +206,73 @@ def test_qmv_kernel_matches_ref(fmt):
     err = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-9))
     assert err < 0.02, err
     assert out.shape == (M, N)
+
+
+# ---------------------------------------------------------------------------
+# column-native flash path ([B,T,H*D] BlockSpecs, no head transposes)
+# ---------------------------------------------------------------------------
+
+def _flash_grads_vs_ref(q, k, v, scale, window=0):
+    def loss_flash(q, k, v):
+        o = pfl.flash_attention_or_none(q, k, v, scale=scale, window=window)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        o = causal_attention(q, k, v, scale=scale, window=window,
+                             backend="ref")
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    out = pfl.flash_attention_or_none(q, k, v, scale=scale, window=window)
+    ref = causal_attention(q, k, v, scale=scale, window=window, backend="ref")
+    err = float(jnp.abs(out.astype(jnp.float32)
+                        - ref.astype(jnp.float32)).max())
+    assert err < 0.03, err
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max() + 1e-9
+        assert np.abs(a - b).max() / denom < 0.05, f"d{name}"
+
+
+@pytest.mark.parametrize("shape,window", [
+    ((2, 256, 8, 64, 8), 0),     # GPT2-like MHA, hb=4
+    ((1, 256, 4, 128, 2), 0),    # Qwen3-like GQA g=2 d=128, hb=2, hbk=1
+    ((1, 256, 4, 64, 2), 100),   # GQA g=2 d=64, hb=4 hbk=2, sliding window
+])
+def test_flash_cols_fwd_bwd(shape, window):
+    B, T, Hq, D, Hkv = shape
+    assert pfl._col_cfg(Hq, Hkv, D) is not None
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, Hq, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, Hkv, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, Hkv, D), jnp.bfloat16)
+    _flash_grads_vs_ref(q, k, v, 1.0 / D ** 0.5, window)
+
+
+def test_flash_cols_twopass():
+    """t > tile: the two-sweep column backward (dkv + dq kernels)."""
+    old_bq, old_bk = pfl.BQ, pfl.BK
+    pfl.BQ = pfl.BK = 128
+    try:
+        B, T, Hq, Hkv, D = 1, 256, 4, 2, 64
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, T, Hq, D),
+                              jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), (B, T, Hkv, D),
+                              jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (B, T, Hkv, D),
+                              jnp.bfloat16)
+        _flash_grads_vs_ref(q, k, v, 1.0 / D ** 0.5)
+    finally:
+        pfl.BQ, pfl.BK = old_bq, old_bk
+
+
+def test_flash_head_major_fallback():
+    """Shapes _col_cfg rejects (hb can't divide hq) still run the
+    head-major kernels."""
+    assert pfl._col_cfg(3, 1, 64) is None
+    B, T, Hq, Hkv, D = 1, 256, 3, 1, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, Hq, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, Hkv, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, Hkv, D), jnp.bfloat16)
+    _flash_grads_vs_ref(q, k, v, 1.0 / D ** 0.5)

@@ -43,7 +43,7 @@ def test_salmon_trains_and_infills():
     step = make_train_step(card, tcard, total_steps=300)
     key = jax.random.PRNGKey(0)
     losses = []
-    for _ in range(250):
+    for _ in range(400):
         key, k = jax.random.split(key)
         s = jax.random.randint(k, (16, 1), 0, 64)
         batch = {"tokens": ((s + jnp.arange(17)[None]) % 64)[None
