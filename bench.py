@@ -44,7 +44,8 @@ def bench_decode(args, emit=True):
     from koifish_tpu.models import init_params
     from koifish_tpu.quant.apply import quantize_params
     from koifish_tpu.serve import init_cache
-    from koifish_tpu.serve.engine import _jit_decode_sample, _jit_prefill
+    from koifish_tpu.serve.engine import (_jit_decode_sample,
+                                          _jit_decode_sample_k, _jit_prefill)
     from koifish_tpu.serve.stacked import stack_layers
     from koifish_tpu.ops.sampling import sample_logits
 
@@ -62,36 +63,56 @@ def bench_decode(args, emit=True):
                                 card.vocab_size, dtype=jnp.int32)
     rng = jax.random.PRNGKey(0)
 
-    # cold prefill = compile; warm prefill = the real TTFT
-    logits, cache = _jit_prefill(card, params, prompt, cache)
+    # cold prefill = compile; warm prefill = the real TTFT. fresh=True is
+    # what the engine picks for an empty cache (engine.generate checks
+    # cache.pos == 0): in-chunk flash attention, no masked full-cache read.
+    logits, cache = _jit_prefill(card, params, prompt, cache, fresh=True)
     int(jnp.argmax(logits[0]))
     cache = init_cache(card.n_layer, B, S, card.n_kv_head, card.head_dim,
                        fmt=QFormat.INT8)
     t0 = time.perf_counter()
-    logits, cache = _jit_prefill(card, params, prompt, cache)
+    logits, cache = _jit_prefill(card, params, prompt, cache, fresh=True)
     tok = sample_logits(rng, logits, sampler.temperature, sampler.top_k,
                         sampler.top_p)
     int(tok[0])  # sync
     ttft_warm = time.perf_counter() - t0
 
-    # warm decode
-    tok, cache, rng = _jit_decode_sample(card, dparams, tok, cache, rng, sampler)
+    # warm decode. Production path = chunked dispatch (serve/batching.py
+    # decode_chunk): K decode+sample steps per executable — on this
+    # tunneled runtime a per-token dispatch measures the ~30 ms host RTT,
+    # not the chip (121 vs 269 agg tok/s in the serving bench).
+    K = 16
+    toks, cache, rng = _jit_decode_sample_k(card, dparams, tok, cache, rng,
+                                            sampler, K)
+    tok = toks[-1]
     int(tok[0])
-    N = args.steps
+    N = max(args.steps // K, 2)
     t0 = time.perf_counter()
     for _ in range(N):
+        toks, cache, rng = _jit_decode_sample_k(card, dparams, tok, cache,
+                                                rng, sampler, K)
+        tok = toks[-1]
+    int(tok[0])  # true sync (host fetch)
+    dt = (time.perf_counter() - t0) / (N * K)
+
+    # per-token dispatch (host-RTT-bound here; real interactive floor)
+    tok, cache, rng = _jit_decode_sample(card, dparams, tok, cache, rng, sampler)
+    int(tok[0])
+    t0 = time.perf_counter()
+    for _ in range(8):
         tok, cache, rng = _jit_decode_sample(card, dparams, tok, cache, rng,
                                              sampler)
-    int(tok[0])  # true sync (host fetch)
-    dt = (time.perf_counter() - t0) / N
+    int(tok[0])
+    dt1 = (time.perf_counter() - t0) / 8
     tps = B / dt
     result = {
-        "metric": f"qwen3-0.6b INT4+INT8KV decode (B={B}, S={S})",
+        "metric": f"qwen3-0.6b INT4+INT8KV decode (B={B}, S={S}, chunk={K})",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(tps / 20_000.0, 3),  # ref train tok/s as anchor
         "ttft_warm_s": round(ttft_warm, 3),
         "step_ms": round(dt * 1e3, 2),
+        "per_token_dispatch_ms": round(dt1 * 1e3, 2),
     }
     if emit:
         print(json.dumps(result))

@@ -318,9 +318,11 @@ class TrainCard:
     grad_clip: float = 1.0
     muon_lr_ratio: float = 1.0
     muon_momentum: float = 0.95
-    remat: bool = True               # jax.checkpoint (reference "Rematerialisation")
-    int8_matmul: bool = False        # int8 fwd+dgrad matmuls (FP8-GEMM analog)
+    remat: Any = True                # jax.checkpoint (reference "Rematerialisation");
+                                     # True=full, "dots"=save GEMM outputs, False=off
+    int8_matmul: bool = False        # int8 fwd matmuls (FP8-GEMM analog)
     int8_wgrad: bool = False         # experimental: int8 wgrad too
+    int8_min_kn: int = 1 << 24       # K*N weight-size gate (ops/int8_train)
     dump_every: int = 10
     eval_every: int = 100
     gpt_every: int = 0               # in-training chat sample cadence
@@ -339,6 +341,9 @@ class TrainCard:
         card.save_every = int(jt.get("save-every", card.save_every))
         card.gpt_every = int(jt.get("gpt-every", card.gpt_every))
         card.eval_every = int(jt.get("eval-every", card.eval_every))
+        r = jt.get("remat", jt.get("rematerialization", None))
+        if r is not None:
+            card.remat = r if isinstance(r, str) else bool(r)
         opt = jt.get("optimizatioin", jt.get("optimization", {}))  # sic — reference key
         card.optimizer = str(opt.get("method", card.optimizer)).lower()
         card.grad_accum = int(opt.get("grad_accumulation", card.grad_accum))

@@ -2,33 +2,36 @@
 
 The reference's headline GPT2 numbers come from FP8 GEMMs (F8_B80 case,
 cases/gpt2/1558M_F8_B80; FP8 cast kernels operator.cuh:519-571). v5e has
-no FP8 MXU but its int8 path runs at ~2x the bf16 rate — the TPU-native
-analog is dynamic-range int8 matmuls:
+no FP8 MXU but its int8 path runs well above the bf16 rate (measured on
+the head GEMM: 167 T/s bf16 vs 282 T/s int8 with the fused
+int32->f32-scale->bf16 epilogue) — the TPU-native analog is
+dynamic-range int8 matmuls:
 
     y = (q8(x) @ q8(w)) . s_x[row] . s_w[col]
 
-Recipe (round-2, after the round-1 fwd-only negative result):
+Where int8 pays (round-2 measurement, GPT2-124M B=16):
 
-- forward:  per-token (row) activation scales x per-out-feature (column)
-  weight scales — both rank-1, so the scaling is exact outside the dot
-  and the only error is rounding.
-- dgrad in int8 too: dx = q8(dy . s_w) @ w8^T . s_dy — REUSES the
-  forward's weight codes (saved as residuals), so weights are quantized
-  once per step, not once per matmul ("hoisted master-weight quant",
-  the analog of the reference's shadoW master + packed data split,
-  Pipe.hpp:114-121).  Column scales fold into dy before its row quant,
-  so the transposed dot needs no per-K rescale.
-- wgrad: dw = x^T @ dy stays bf16 by default (per-token precision is
-  what stabilizes training — SwitchBack recipe); set
-  ``set_train_int8(True, wgrad=True)`` for full-int8 experiments
-  (per-column scales on both operands of the [K, N] = [K, M]@[M, N]
-  dot; the contraction axis M is the token axis, so scales must live on
-  the non-contracted axes: s_col(x)[K] x s_col(dy)[N]).
+- A dynamic-quant pass over a [M, N] operand costs ~N/K of the dot's own
+  time (it re-reads the dot's big operand from HBM). At GPT2's dense
+  sizes (K, N <= 3072) quantizing the activations/grads costs MORE than
+  the MXU saves: full int8 measured 121K tok/s vs 137K bf16. The win
+  lives where the weight is huge — the lm head (768 x 50304): the fwd
+  dot drops 7.6 -> 4.5 ms and the x-quant is over a tiny [M, 768].
+  So ``int8_matmul`` only engages when K*N >= ``min_weight_elems``
+  (default 2^24; the head qualifies, dense layers of >=4096-wide models
+  qualify too, GPT2-124M's dense layers don't).
+- dgrad: dy for the head is [M, 50304] — row-quantizing it costs three
+  passes over 1.65 GB, more than the int8 dot saves. dgrad therefore
+  runs bf16 against the DEQUANTIZED forward codes (w is never saved —
+  one 115 MB pass rebuilds it from the int8 residuals), matching the
+  fwd's rounding.
+- wgrad: always bf16. Int8 wgrad measured catastrophic for loss
+  (9.25 vs 8.15 @ step 13) at zero speed gain.
 
-XLA lowers int8 x int8 -> int32 ``dot`` to the MXU natively; no Pallas
-needed. Enable per-step with TrainCard.int8_matmul (ambient switch
-consumed by ops/matmul.linear for plain bf16 weights above a size
-threshold).
+XLA lowers int8 x int8 -> int32 ``dot`` to the MXU natively and fuses
+the scale epilogue into the dot output; no Pallas needed. Enable
+per-step with TrainCard.int8_matmul (ambient switch consumed by
+ops/matmul.qmatmul for plain bf16 weights above the size threshold).
 """
 from __future__ import annotations
 
@@ -37,17 +40,26 @@ import jax.numpy as jnp
 
 _ENABLED = False
 _WGRAD = False
+_MIN_WEIGHT_ELEMS = 1 << 24     # K*N gate: head-sized and up
 
 
-def set_train_int8(on: bool, wgrad: bool = False) -> None:
+def set_train_int8(on: bool, wgrad: bool = False,
+                   min_weight_elems: int = 1 << 24) -> None:
     """Ambient switch — set BEFORE tracing the train step (static)."""
-    global _ENABLED, _WGRAD
+    global _ENABLED, _WGRAD, _MIN_WEIGHT_ELEMS
     _ENABLED = on
     _WGRAD = wgrad
+    _MIN_WEIGHT_ELEMS = min_weight_elems
 
 
 def train_int8_enabled() -> bool:
     return _ENABLED
+
+
+def int8_applies(shape) -> bool:
+    """Does the int8 path engage for a [K, N] weight of this shape?"""
+    return (_ENABLED and len(shape) == 2
+            and shape[0] * shape[1] >= _MIN_WEIGHT_ELEMS)
 
 
 def _rowwise_q8(x):
@@ -73,8 +85,8 @@ def _i8dot(a, b, dims):
 
 @jax.custom_vjp
 def int8_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
-    """x [..., K] @ w [K, N]: int8 forward + int8 dgrad (codes reused),
-    bf16 wgrad (int8 with wgrad=True)."""
+    """x [..., K] @ w [K, N]: int8 forward (fused scale epilogue), bf16
+    dgrad/wgrad against the dequantized forward codes."""
     return _fwd(x, w)[0]
 
 
@@ -87,11 +99,11 @@ def _fwd_impl(x2, wq, sw):
 def _fwd(x, w):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    wq, sw = _colwise_q8(w)          # quantized once; reused by dgrad
+    wq, sw = _colwise_q8(w)
     y = _fwd_impl(x2, wq, sw)
     y = y.reshape(*lead, w.shape[-1]).astype(x.dtype)
     # 0-size stub keeps w's dtype for the bwd cotangent (w itself is NOT
-    # saved — the whole point is that dgrad reuses the int8 codes)
+    # saved — the bwd rebuilds it from the int8 codes)
     return y, (x, wq, sw, jnp.zeros((0,), w.dtype))
 
 
@@ -100,16 +112,17 @@ def _bwd(res, g):
     lead = x.shape[:-1]
     g2 = g.reshape(-1, g.shape[-1])
 
-    # dgrad: dx = (g . s_w) @ w8^T — fold the column scales into g so the
-    # transposed int8 dot needs no per-K rescale, then row-quantize
-    gs = g2.astype(jnp.float32) * sw
-    gq, sg = _rowwise_q8(gs)
-    dx = _i8dot(gq, wq, ((1,), (1,))).astype(jnp.float32) * sg
+    # dgrad: bf16 dot against the dequantized forward codes — the dy
+    # operand is read once by the dot, never re-read by a quant pass.
+    wd = (wq.astype(jnp.float32) * sw).astype(jnp.bfloat16)   # [K, N]
+    dx = jnp.dot(g2.astype(jnp.bfloat16), wd.T,
+                 preferred_element_type=jnp.float32)
     dx = dx.reshape(*lead, x.shape[-1]).astype(x.dtype)
 
     x2 = x.reshape(-1, x.shape[-1])
     if _WGRAD:
-        # both operands column-quantized along their non-contracted axes
+        # experimental full-int8 (both operands column-quantized along
+        # their non-contracted axes). Measured harmful for loss.
         xq_c, sx_c = _colwise_q8(x2)          # scales over K
         gq_c, sg_c = _colwise_q8(g2)          # scales over N
         dw = _i8dot(xq_c, gq_c, ((0,), (0,))).astype(jnp.float32)

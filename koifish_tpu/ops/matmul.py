@@ -55,10 +55,11 @@ def qmatmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
         y = pmm.qmatmul_pallas_or_ref(x, w, out_dtype)
         return y
     if not isinstance(w, QTensor):
-        # int8-forward training (FP8-GEMM analog; TrainCard.int8_matmul)
-        from koifish_tpu.ops.int8_train import int8_matmul, train_int8_enabled
-        if train_int8_enabled() and w.ndim == 2 and w.shape[0] >= 256 \
-                and w.shape[1] >= 256:
+        # int8-forward training (FP8-GEMM analog; TrainCard.int8_matmul).
+        # Size-gated: dynamic quant passes only pay for themselves on
+        # head-sized weights (see ops/int8_train.py).
+        from koifish_tpu.ops.int8_train import int8_matmul, int8_applies
+        if int8_applies(w.shape):
             return int8_matmul(x, w).astype(out_dtype)
     wd = _dequant(w, x.dtype)
     # emit the dot at the target dtype directly: dot->f32->convert(bf16)

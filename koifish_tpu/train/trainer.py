@@ -88,7 +88,8 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
     """
     if tcard.int8_matmul:
         from koifish_tpu.ops.int8_train import set_train_int8
-        set_train_int8(True, wgrad=tcard.int8_wgrad)  # ambient, trace-time
+        set_train_int8(True, wgrad=tcard.int8_wgrad,   # ambient, trace-time
+                       min_weight_elems=tcard.int8_min_kn)
 
     def micro_grads(params, tokens, loss_mask, rng=None):
         # grad only w.r.t. float leaves — integer leaves (packed QTensor

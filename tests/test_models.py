@@ -326,3 +326,26 @@ def test_mla_latent_cache_matches_standard():
         l_lat, c_lat = mla_decode_step(card, params, tok, c_lat)
         np.testing.assert_allclose(np.asarray(l_std), np.asarray(l_lat),
                                    rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("remat", [True, "dots", False])
+def test_remat_variants_match(remat):
+    """remat policies (full / dots-saveable / off) must produce the same
+    grads — only memory/recompute scheduling differs (transformer.py
+    model_forward; reference remater_ffn QKV.cu:770)."""
+    card = tiny_card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                              card.vocab_size, dtype=jnp.int32)
+
+    def loss(p):
+        lg = model_forward(card, p, toks, remat=remat)
+        return (lg.astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    g_ref = jax.grad(lambda p: (model_forward(card, p, toks)
+                                .astype(jnp.float32) ** 2).mean())(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=1e-5)
