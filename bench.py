@@ -121,8 +121,13 @@ def bench_decode(args, emit=True):
 
 def bench_train(args, emit=True):
     card = gpt2_124m() if args.model == "gpt2-124m" else qwen3_0_6b()
-    # 124M fits without remat on one v5e chip — measured fastest config
-    remat = args.model != "gpt2-124m"
+    # measured fastest configs (sweep r2): gpt2-124m B=16 no-remat;
+    # qwen3-0.6b B=8 no-remat 23.7K > dots 22.6K > full 19.9K tok/s
+    if args.model != "gpt2-124m" and args.batch == 16:
+        args.batch = 8
+    remat = False if args.batch <= 8 else "dots"
+    if args.model == "gpt2-124m":
+        remat = False
     tcard = TrainCard(batch=args.batch, lr=6e-4, warmup=10, optimizer="adamw",
                       remat=remat)
     step = make_train_step(card, tcard, total_steps=1000)

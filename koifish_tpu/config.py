@@ -73,6 +73,41 @@ _ARCH_DEFAULTS = {
                    tie_embeddings=True, causal=False),
 }
 
+# (arch, dims) per published HF config; vocab padded to a 128 multiple
+# where it already is one. Sources: reference cases/gpt2_*.json,
+# cases/qwen3/*.json + the HF cards they point at.
+MODEL_PRESETS = {
+    "gpt2-124m": ("GPT2", dict(vocab_size=50304, n_layer=12, n_embd=768,
+                               n_head=12, n_kv_head=12, head_dim=64,
+                               n_ffn=3072, n_ctx=1024, max_pos=1024)),
+    "gpt2-774m": ("GPT2", dict(vocab_size=50304, n_layer=36, n_embd=1280,
+                               n_head=20, n_kv_head=20, head_dim=64,
+                               n_ffn=5120, n_ctx=1024, max_pos=1024)),
+    "gpt2-1558m": ("GPT2", dict(vocab_size=50304, n_layer=48, n_embd=1600,
+                                n_head=25, n_kv_head=25, head_dim=64,
+                                n_ffn=6400, n_ctx=1024, max_pos=1024)),
+    "qwen2.5-0.5b": ("QWEN2", dict(vocab_size=151936, n_layer=24, n_embd=896,
+                                   n_head=14, n_kv_head=2, head_dim=64,
+                                   n_ffn=4864, n_ctx=4096, max_pos=32768)),
+    "qwen3-0.6b": ("QWEN3", dict(vocab_size=151936, n_layer=28, n_embd=1024,
+                                 n_head=16, n_kv_head=8, head_dim=128,
+                                 n_ffn=3072, n_ctx=4096, max_pos=40960)),
+    "qwen3-1.7b": ("QWEN3", dict(vocab_size=151936, n_layer=28, n_embd=2048,
+                                 n_head=16, n_kv_head=8, head_dim=128,
+                                 n_ffn=6144, n_ctx=4096, max_pos=40960)),
+    "qwen3-4b": ("QWEN3", dict(vocab_size=151936, n_layer=36, n_embd=2560,
+                               n_head=32, n_kv_head=8, head_dim=128,
+                               n_ffn=9728, n_ctx=8192, max_pos=40960)),
+    "qwen3-8b": ("QWEN3", dict(vocab_size=151936, n_layer=36, n_embd=4096,
+                               n_head=32, n_kv_head=8, head_dim=128,
+                               n_ffn=12288, n_ctx=8192, max_pos=40960,
+                               tie_embeddings=False)),
+    "qwen3-32b": ("QWEN3", dict(vocab_size=151936, n_layer=64, n_embd=5120,
+                                n_head=64, n_kv_head=8, head_dim=128,
+                                n_ffn=25600, n_ctx=8192, max_pos=40960,
+                                tie_embeddings=False)),
+}
+
 _HF_MODEL_TYPE = {
     "gpt2": "GPT2", "qwen2": "QWEN2", "qwen3": "QWEN3", "llama": "LLAMA",
     "mistral": "MISTRAL", "deepseek_v2": "DEEPSEEK", "deepseek_v3": "DEEPSEEK",
@@ -147,6 +182,20 @@ class ModelCard:
         defaults.update(overrides)
         card = cls(arch=arch, **defaults)
         return card
+
+    @classmethod
+    def preset(cls, name: str) -> "ModelCard":
+        """Named size presets for the model families the reference ships
+        case configs for (cases/gpt2_*.json, cases/qwen3/*.json) plus the
+        scale-out targets (Qwen3-8B/32B — reference README.md:23 runs 32B
+        inference on one 4090; our analog is TP over a chip mesh, see
+        parallel/planner.py)."""
+        key = name.lower().replace("_", "-")
+        if key not in MODEL_PRESETS:
+            raise ValueError(f"unknown preset '{name}' "
+                             f"(have: {sorted(MODEL_PRESETS)})")
+        arch, kw = MODEL_PRESETS[key]
+        return cls.from_arch(arch, **kw)
 
     @classmethod
     def from_json(cls, jmodel: dict) -> "ModelCard":

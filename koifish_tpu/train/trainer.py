@@ -251,9 +251,12 @@ def train_loop(
                 f"iter {it}: loss={loss} grad_norm={float(metrics['grad_norm'])}")
 
         if log_fn and tcard.dump_every and it % tcard.dump_every == 0:
+            from koifish_tpu.utils.mfu import step_mfu
+            mfu = step_mfu(card, tokens_per_batch, dt)
             log_fn(f"[{it}] loss={loss:.4f} lr={float(metrics['lr']):.2e} "
                    f"gnorm={float(metrics['grad_norm']):.3f} "
-                   f"T={dt:.2f}s {tps/1e3:.1f}K tok/s")
+                   f"T={dt:.2f}s {tps/1e3:.1f}K tok/s"
+                   + (f" mfu={mfu:.1%}" if mfu is not None else ""))
         if hook_fn is not None:
             new_state = hook_fn(state, it, loss)
             if new_state is not None:

@@ -1,0 +1,52 @@
+"""Model presets, analytic param/FLOP counts, memory planner."""
+import pytest
+
+from koifish_tpu.config import ModelCard
+from koifish_tpu.parallel.planner import (param_count, plan_serving,
+                                          plan_training)
+from koifish_tpu.utils.mfu import matmul_params, train_step_flops
+
+
+@pytest.mark.parametrize("name,lo,hi", [
+    ("gpt2-124m", 110e6, 140e6),
+    ("gpt2-1558m", 1.4e9, 1.7e9),
+    ("qwen2.5-0.5b", 430e6, 640e6),
+    ("qwen3-0.6b", 550e6, 780e6),
+    ("qwen3-8b", 7.5e9, 8.5e9),
+    ("qwen3-32b", 31e9, 34e9),
+])
+def test_preset_param_counts(name, lo, hi):
+    assert lo < param_count(ModelCard.preset(name)) < hi
+
+
+def test_preset_unknown_raises():
+    with pytest.raises(ValueError):
+        ModelCard.preset("qwen3-9000b")
+
+
+def test_flops_gpt2():
+    card = ModelCard.preset("gpt2-124m")
+    assert 110e6 < matmul_params(card) < 135e6
+    f = train_step_flops(card, 16 * 1024)
+    assert 10e12 < f < 20e12     # 6*124M*16k = 12.2T + attention
+
+
+def test_plan_32b_serving_needs_tp():
+    plan = plan_serving(ModelCard.preset("qwen3-32b"), batch=8, ctx=4096)
+    assert plan.n_chips >= 2 and plan.mesh["tp"] == plan.n_chips
+
+
+def test_plan_0p6b_fits_one_chip():
+    s = plan_serving(ModelCard.preset("qwen3-0.6b"), batch=32, ctx=1024)
+    assert s.n_chips == 1
+    t = plan_training(ModelCard.preset("qwen3-0.6b"), batch=8, ctx=1024,
+                      remat=False)
+    assert t.n_chips == 1        # measured on hardware (r2 sweep)
+
+
+def test_plan_8b_training_shards():
+    t = plan_training(ModelCard.preset("qwen3-8b"), batch=8, ctx=4096)
+    assert t.n_chips >= 4
+    assert t.per_chip_bytes < 16 * 1024 ** 3
+    assert set(t.mesh) <= {"dp", "fsdp"}
+    assert t.summary()
