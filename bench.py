@@ -44,8 +44,9 @@ def bench_decode(args, emit=True):
     from koifish_tpu.models import init_params
     from koifish_tpu.quant.apply import quantize_params
     from koifish_tpu.serve import init_cache
-    from koifish_tpu.serve.engine import (_jit_decode_sample,
-                                          _jit_decode_sample_k, _jit_prefill)
+    from koifish_tpu.serve.engine import (_jit_decode_sample_layered,
+                                          _jit_decode_sample_layered_k,
+                                          _jit_prefill, _jit_split_cache)
     from koifish_tpu.serve.stacked import stack_layers
     from koifish_tpu.ops.sampling import sample_logits
 
@@ -66,8 +67,11 @@ def bench_decode(args, emit=True):
     # cold prefill = compile; warm prefill = the real TTFT. fresh=True is
     # what the engine picks for an empty cache (engine.generate checks
     # cache.pos == 0): in-chunk flash attention, no masked full-cache read.
+    # The sampler is warmed too — its first eager dispatch compiles.
     logits, cache = _jit_prefill(card, params, prompt, cache, fresh=True)
-    int(jnp.argmax(logits[0]))
+    tok = sample_logits(rng, logits, sampler.temperature, sampler.top_k,
+                        sampler.top_p)
+    int(tok[0])
     cache = init_cache(card.n_layer, B, S, card.n_kv_head, card.head_dim,
                        fmt=QFormat.INT8)
     t0 = time.perf_counter()
@@ -77,31 +81,34 @@ def bench_decode(args, emit=True):
     int(tok[0])  # sync
     ttft_warm = time.perf_counter() - t0
 
-    # warm decode. Production path = chunked dispatch (serve/batching.py
+    # warm decode over the per-layer cache (serve/layered.py — in-place
+    # slot writes). Production path = chunked dispatch (serve/batching.py
     # decode_chunk): K decode+sample steps per executable — on this
     # tunneled runtime a per-token dispatch measures the ~30 ms host RTT,
     # not the chip (121 vs 269 agg tok/s in the serving bench).
+    lc = _jit_split_cache(cache, uniform=True)
     K = 16
-    toks, cache, rng = _jit_decode_sample_k(card, dparams, tok, cache, rng,
-                                            sampler, K)
+    toks, lc, rng = _jit_decode_sample_layered_k(card, dparams, tok, lc,
+                                                 rng, sampler, K)
     tok = toks[-1]
     int(tok[0])
     N = max(args.steps // K, 2)
     t0 = time.perf_counter()
     for _ in range(N):
-        toks, cache, rng = _jit_decode_sample_k(card, dparams, tok, cache,
-                                                rng, sampler, K)
+        toks, lc, rng = _jit_decode_sample_layered_k(card, dparams, tok, lc,
+                                                     rng, sampler, K)
         tok = toks[-1]
     int(tok[0])  # true sync (host fetch)
     dt = (time.perf_counter() - t0) / (N * K)
 
     # per-token dispatch (host-RTT-bound here; real interactive floor)
-    tok, cache, rng = _jit_decode_sample(card, dparams, tok, cache, rng, sampler)
+    tok, lc, rng = _jit_decode_sample_layered(card, dparams, tok, lc, rng,
+                                              sampler)
     int(tok[0])
     t0 = time.perf_counter()
     for _ in range(8):
-        tok, cache, rng = _jit_decode_sample(card, dparams, tok, cache, rng,
-                                             sampler)
+        tok, lc, rng = _jit_decode_sample_layered(card, dparams, tok, lc,
+                                                  rng, sampler)
     int(tok[0])
     dt1 = (time.perf_counter() - t0) / 8
     tps = B / dt

@@ -186,6 +186,46 @@ def _jit_decode_sample(card, params, token, cache, rng, sampler):
     return nxt, cache, rng
 
 
+@functools.partial(jax.jit, static_argnames=("card", "sampler"),
+                   donate_argnames=("lc",))
+def _jit_decode_sample_layered(card, params, token, lc, rng, sampler):
+    from koifish_tpu.serve.layered import decode_step_layered
+    logits, lc = decode_step_layered(card, params, token, lc)
+    rng, sub = jax.random.split(rng)
+    nxt = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
+                        sampler.top_p, sampler.min_p)
+    return nxt, lc, rng
+
+
+@functools.partial(jax.jit, static_argnames=("card", "sampler", "k"),
+                   donate_argnames=("lc",))
+def _jit_decode_sample_layered_k(card, params, token, lc, rng, sampler, k):
+    """K layered decode+sample steps per dispatch (lax.scan over tokens;
+    per-layer cache leaves are loop carries XLA updates in place)."""
+    from koifish_tpu.serve.layered import decode_step_layered
+
+    def body(carry, _):
+        tok, lc, rng = carry
+        logits, lc = decode_step_layered(card, params, tok, lc)
+        rng, sub = jax.random.split(rng)
+        tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
+                            sampler.top_p, sampler.min_p)
+        return (tok, lc, rng), tok
+
+    (token, lc, rng), toks = jax.lax.scan(
+        body, (token, lc, rng), None, length=k)
+    return toks, lc, rng
+
+
+def _split_cache_impl(cache, uniform):
+    from koifish_tpu.serve.layered import split_cache
+    return split_cache(cache, uniform)
+
+
+_jit_split_cache = jax.jit(_split_cache_impl, static_argnames=("uniform",),
+                           donate_argnums=(0,))
+
+
 @functools.partial(jax.jit, static_argnames=("card", "sampler", "k"),
                    donate_argnames=("cache",))
 def _jit_decode_sample_k(card, params, token, cache, rng, sampler, k):
@@ -231,12 +271,16 @@ def generate(
                         sampler.top_p, sampler.min_p)
     out = [tok]
     done = tok == eos_id
+    # per-layer cache leaves for the token loop (serve/layered.py): the
+    # one conversion copy here buys in-place slot writes on every step
+    from koifish_tpu.serve.layered import join_cache
+    lc = _jit_split_cache(cache, uniform=True)
     for _ in range(max_new_tokens - 1):
         if bool(done.all()):
             break
-        tok, cache, rng = _jit_decode_sample(card, dparams, tok, cache,
-                                             rng, sampler)
+        tok, lc, rng = _jit_decode_sample_layered(card, dparams, tok, lc,
+                                                  rng, sampler)
         tok = jnp.where(done, eos_id, tok)
         done = done | (tok == eos_id)
         out.append(tok)
-    return jnp.stack(out, axis=1), cache
+    return jnp.stack(out, axis=1), join_cache(lc)

@@ -126,6 +126,27 @@ def _unpack_int4(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-1)
 
 
+def ring_write(buf: jax.Array, val: jax.Array, slots: jax.Array) -> jax.Array:
+    """One-token ring write WITHOUT a scatter: ``buf [B, H, S, ...] <-
+    val [B, H, ...]`` at per-lane slot ``slots [B]``.
+
+    ``buf.at[arange(B), :, slots].set(val)`` lowers to an XLA scatter,
+    which TPU executes as a serialized per-row loop — measured 33 ms per
+    Qwen3-0.6B decode step at B=32 (the whole step should be ~3 ms). An
+    ``arange(S) == slot`` select is one fused elementwise pass over the
+    buffer it had to rewrite anyway (functional update), fully vector-
+    ized, and scales with bytes, not batch."""
+    S = buf.shape[2]
+    mask = jnp.arange(S, dtype=slots.dtype)[None, :] == slots[:, None]  # [B,S]
+    mask = mask[:, None, :]                          # [B, 1, S]
+    if buf.ndim == 4:
+        mask = mask[..., None]                       # [B, 1, S, 1]
+        val = val[:, :, None, :]                     # [B, H, 1, D]
+    else:                                            # scales [B, H, S]
+        val = val[:, :, None]                        # [B, H, 1]
+    return jnp.where(mask, val.astype(buf.dtype), buf)
+
+
 def advance(cache: KVCache, n) -> KVCache:
     """Advance the position counter by ``n`` (once per decode/prefill step —
     writes themselves never move it, so every layer sees the same slots)."""
@@ -136,14 +157,11 @@ def write_token(cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
                 ) -> KVCache:
     """Write one token's K/V ([B, H, D]) for ``layer`` at each sequence's
     current position. Does NOT advance ``pos`` — call :func:`advance`."""
-    B = k_new.shape[0]
     slots = ring_slot(cache.pos, cache.size, cache.sinks)      # [B]
-    bidx = jnp.arange(B)
 
     def upd(buf, val):
-        # buf[layer] is [B, H, S, ...]; index [bidx, :, slots] puts the two
-        # advanced axes up front -> [B, H, ...], matching val [B, H, ...]
-        return buf.at[layer].set(buf[layer].at[bidx, :, slots].set(val))
+        # buf[layer] is [B, H, S, ...] — masked ring write (scatter-free)
+        return buf.at[layer].set(ring_write(buf[layer], val, slots))
 
     if cache.fmt is QFormat.BF16:
         k = upd(cache.k, k_new.astype(cache.k.dtype))
@@ -176,13 +194,16 @@ def write_prefill(cache: KVCache, layer: int, k_new: jax.Array,
     batched-prefill improvement over the reference's token-by-token loop,
     GoPT.cpp:1139). Does NOT advance ``pos``."""
     B, T = k_new.shape[:2]
-    pos = start + jnp.arange(T)                                 # [T]
-    slots = ring_slot(pos, cache.size, cache.sinks)             # [T]
 
     def upd(buf, val):
-        # val arrives [B, T, H, ...] -> head-major [B, H, T, ...]
-        val = jnp.moveaxis(val, 1, 2)
-        return buf.at[layer].set(buf[layer].at[:, :, slots].set(val))
+        # val arrives [B, T, H, ...] -> head-major [B, H, T, ...]. The
+        # no-wrap precondition makes the slot range start..start+T-1
+        # contiguous, so this is one dynamic_update_slice (a [T]-slot
+        # fancy-index scatter serializes per row on TPU).
+        val = jnp.moveaxis(val, 1, 2).astype(buf.dtype)
+        at = (0, 0, start) + (0,) * (val.ndim - 3)
+        return buf.at[layer].set(
+            jax.lax.dynamic_update_slice(buf[layer], val, at))
 
     if cache.fmt is QFormat.BF16:
         k = upd(cache.k, k_new.astype(cache.k.dtype))

@@ -1,0 +1,166 @@
+"""Per-layer decode cache — the zero-copy decode path.
+
+Round-2 profiling (xplane trace of the Qwen3-0.6B INT4+INT8KV decode
+step, B=32) showed the layer-stacked scan spends ~80% of its 24 ms step
+on cache *plumbing*, not compute: the [L,B,H,S,D] cache flowing through
+``lax.scan`` as xs/ys costs two full-cache copies per token (XLA
+double-buffers the carry), a full-layer rewrite for the one-token ring
+write, and 4x async slice pipelines — while the fused attention kernel
+itself takes 3.5 ms. The reference never hits this because its CUDA
+decode writes the KV slot in place (Pipe.hpp:160 rolling kv_pos).
+
+The TPU-native fix is structural: keep the decode cache as a pytree of
+PER-LAYER arrays. Each layer's buffers are independent while-loop
+carries, dead after their functional update, so XLA updates them in
+place; the one-token write is a [B,H,1,D] ``dynamic_update_slice``
+(uniform-position batches: one scalar slot) or a masked lane-select
+(continuous batching: per-lane slots). Per-step HBM traffic drops to
+the attention kernel's code reads — the speed-of-light floor.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from koifish_tpu.config import ModelCard
+from koifish_tpu.dtypes import QFormat
+from koifish_tpu.models.transformer import (
+    Params, _linear_l, _norm, gather_embed, lm_head, mlp, qkv_project)
+from koifish_tpu.ops.attention import decode_attention
+from koifish_tpu.serve import kvcache as kvc
+from koifish_tpu.serve.kvcache import KVCache
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LayeredKVCache:
+    """KVCache split into per-layer leaves (decode-only representation)."""
+    k: Tuple[jax.Array, ...]                     # L x [B, H, S, D(|/2)]
+    v: Tuple[jax.Array, ...]
+    k_scale: Optional[Tuple[jax.Array, ...]]     # L x [B, H, S]
+    v_scale: Optional[Tuple[jax.Array, ...]]
+    pos: jax.Array                               # [B]
+    fmt: QFormat = dataclasses.field(default=QFormat.BF16,
+                                     metadata=dict(static=True))
+    sinks: int = dataclasses.field(default=2, metadata=dict(static=True))
+    # True when every lane shares the same position (plain generate):
+    # enables the scalar-slot dynamic_update_slice write path
+    uniform: bool = dataclasses.field(default=True,
+                                      metadata=dict(static=True))
+
+    @property
+    def size(self) -> int:
+        return self.k[0].shape[2]
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.k)
+
+
+def split_cache(cache: KVCache, uniform: bool = True) -> LayeredKVCache:
+    """[L, ...] cache -> per-layer tuples (one copy, at the prefill/decode
+    boundary only — never inside the token loop)."""
+    L = cache.n_layers
+    tup = lambda a: tuple(a[l] for l in range(L)) if a is not None else None
+    return LayeredKVCache(k=tup(cache.k), v=tup(cache.v),
+                          k_scale=tup(cache.k_scale),
+                          v_scale=tup(cache.v_scale),
+                          pos=cache.pos, fmt=cache.fmt, sinks=cache.sinks,
+                          uniform=uniform)
+
+
+def join_cache(lc: LayeredKVCache) -> KVCache:
+    stk = lambda t: jnp.stack(t) if t is not None else None
+    return KVCache(k=stk(lc.k), v=stk(lc.v), k_scale=stk(lc.k_scale),
+                   v_scale=stk(lc.v_scale), pos=lc.pos, fmt=lc.fmt,
+                   sinks=lc.sinks)
+
+
+def _write(buf: jax.Array, val: jax.Array, slots: jax.Array,
+           uniform: bool) -> jax.Array:
+    """One-token write into [B, H, S, ...] at per-lane ``slots`` [B]."""
+    if uniform:
+        # all lanes share the slot: a [B, H, 1, ...] dynamic_update_slice
+        # XLA performs in place on a dead carry buffer
+        val = val[:, :, None].astype(buf.dtype)
+        start = (0, 0, slots[0]) + (0,) * (buf.ndim - 3)
+        return jax.lax.dynamic_update_slice(buf, val, start)
+    return kvc.ring_write(buf, val, slots)
+
+
+def decode_step_layered(card: ModelCard, params: Params, token: jax.Array,
+                        lc: LayeredKVCache,
+                        ) -> Tuple[jax.Array, LayeredKVCache]:
+    """One decode step over per-layer cache leaves: token [B] -> logits
+    [B, V]. Params may be the plain per-layer-list pytree (no stacking
+    needed — the layer loop is unrolled)."""
+    from koifish_tpu.serve.engine import _rope_tables
+    B = token.shape[0]
+    positions = jnp.minimum(lc.pos, card.max_pos - 1)[:, None]
+    cos, sin = _rope_tables(card)
+    x = gather_embed(params["wte"], token[:, None])
+    if card.pos_embed == "learned":
+        x = x + jnp.take(params["wpe"], positions[:, 0], axis=0)[:, None]
+
+    slots = kvc.ring_slot(lc.pos, lc.size, lc.sinks)        # [B]
+    lengths = jnp.minimum(lc.pos + 1, lc.size)
+    valid = jnp.arange(lc.size)[None, :] < lengths[:, None]
+    quant = lc.fmt is not QFormat.BF16
+    att_scale = 1.0 / (card.head_dim ** 0.5)
+    from koifish_tpu.ops.pallas.decode_attn import (
+        decode_attention_quant_or_none)
+
+    k_out, v_out, ks_out, vs_out = [], [], [], []
+    layers = params["layers"]
+    if not isinstance(layers, list):    # stacked [L, ...] leaves: unstack
+        layers = [jax.tree_util.tree_map(lambda a: a[li], layers)
+                  for li in range(card.n_layer)]
+    for li, lp in enumerate(layers):
+        kl, vl = lc.k[li], lc.v[li]
+        h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
+        q, k, v = qkv_project(card, lp, h, cos, sin, positions)
+        k1, v1 = k[:, 0], v[:, 0]                           # [B, H, D]
+        a = None
+        if quant:
+            kq, ksc = kvc._quant_kv(k1, lc.fmt)
+            vq, vsc = kvc._quant_kv(v1, lc.fmt)
+            kl = _write(kl, kq, slots, lc.uniform)
+            vl = _write(vl, vq, slots, lc.uniform)
+            ksl = _write(lc.k_scale[li], ksc, slots, lc.uniform)
+            vsl = _write(lc.v_scale[li], vsc, slots, lc.uniform)
+            ks_out.append(ksl); vs_out.append(vsl)
+            if lc.fmt in (QFormat.INT8, QFormat.INT4):
+                a = decode_attention_quant_or_none(
+                    q[:, 0], kl, vl, ksl, vsl, lengths, att_scale)
+            if a is None:
+                kd, vd_ = kl, vl
+                if lc.fmt is QFormat.INT4:
+                    kd, vd_ = kvc._unpack_int4(kl), kvc._unpack_int4(vl)
+                kf = (kd.astype(jnp.float32) * ksl[..., None]
+                      ).astype(jnp.bfloat16)
+                vf = (vd_.astype(jnp.float32) * vsl[..., None]
+                      ).astype(jnp.bfloat16)
+        else:
+            kl = _write(kl, k1, slots, lc.uniform)
+            vl = _write(vl, v1, slots, lc.uniform)
+            kf, vf = kl, vl
+        k_out.append(kl); v_out.append(vl)
+        if a is None:
+            a = decode_attention(q[:, 0], jnp.moveaxis(kf, 1, 2),
+                                 jnp.moveaxis(vf, 1, 2), valid)
+        a = _linear_l(a.reshape(B, 1, -1), lp, "o")
+        x = x + a
+        h = _norm(card, x, lp["ln2"], lp.get("ln2_b"))
+        x = x + mlp(card, lp, h)
+
+    x = _norm(card, x, params["ln_f"], params.get("ln_f_b"))
+    logits = lm_head(card, params, x)[:, 0]
+    lc = dataclasses.replace(
+        lc, k=tuple(k_out), v=tuple(v_out),
+        k_scale=tuple(ks_out) if ks_out else lc.k_scale,
+        v_scale=tuple(vs_out) if vs_out else lc.v_scale,
+        pos=lc.pos + 1)
+    return logits, lc

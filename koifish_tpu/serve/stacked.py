@@ -58,7 +58,6 @@ def decode_step_stacked(card: ModelCard, sparams: Params, token: jax.Array,
         x = x + jnp.take(sparams["wpe"], positions[:, 0], axis=0)[:, None]
 
     slots = kvc.ring_slot(cache.pos, cache.size, cache.sinks)   # [B]
-    bidx = jnp.arange(B)
     valid = jnp.arange(cache.size)[None, :] < jnp.minimum(
         cache.pos + 1, cache.size)[:, None]
     quant_kv = cache.fmt is not QFormat.BF16
@@ -76,10 +75,10 @@ def decode_step_stacked(card: ModelCard, sparams: Params, token: jax.Array,
         if quant_kv:
             kq, ksc = kvc._quant_kv(k1, cache.fmt)
             vq, vsc = kvc._quant_kv(v1, cache.fmt)
-            kl = kl.at[bidx, :, slots].set(kq)
-            vl = vl.at[bidx, :, slots].set(vq)
-            ksl = ksl.at[bidx, :, slots].set(ksc)
-            vsl = vsl.at[bidx, :, slots].set(vsc)
+            kl = kvc.ring_write(kl, kq, slots)
+            vl = kvc.ring_write(vl, vq, slots)
+            ksl = kvc.ring_write(ksl, ksc, slots)
+            vsl = kvc.ring_write(vsl, vsc, slots)
             if cache.fmt in (QFormat.INT8, QFormat.INT4):
                 # fused kernel reads codes directly — no bf16 cache copy
                 from koifish_tpu.ops.pallas.decode_attn import (
@@ -97,8 +96,8 @@ def decode_step_stacked(card: ModelCard, sparams: Params, token: jax.Array,
                 vf = (vd_.astype(jnp.float32) * vsl[..., None]
                       ).astype(jnp.bfloat16)
         else:
-            kl = kl.at[bidx, :, slots].set(k1.astype(kl.dtype))
-            vl = vl.at[bidx, :, slots].set(v1.astype(vl.dtype))
+            kl = kvc.ring_write(kl, k1, slots)
+            vl = kvc.ring_write(vl, v1, slots)
             kf, vf = kl, vl
         if a is None:
             a = decode_attention(q[:, 0], jnp.moveaxis(kf, 1, 2),
