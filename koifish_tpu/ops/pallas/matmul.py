@@ -48,7 +48,7 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
     """Dispatch: Pallas fused kernel when eligible, else XLA dequant+dot.
 
     Two kernels: a tiled GEMM for training/prefill (m >= 64) and a GEMV
-    (m <= 8, full-K per N-tile) for decode — the GEMM would pad a decode
+    (m <= 32, full-K per N-tile) for decode — the GEMM would pad a decode
     batch 8 -> 256 rows (32x wasted MXU issue).
     """
     m = int(jnp.size(x) // x.shape[-1])
@@ -67,8 +67,12 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
         return _ref_qmatmul(x, w, out_dtype)
     lead = x.shape[:-1]
     x2 = x.reshape(m, k)
-    if m <= 8:
-        pad_m = 8 - m
+    if m <= 32:
+        # GEMV-ish decode path: pad rows to the sublane count. Covers
+        # batched decode up to B=32 (the 8<m<64 XLA-dequant dead zone made
+        # INT4 decode SLOWER than bf16 at B=32 — r2 measurement)
+        bm = max(8, -(-m // 8) * 8)
+        pad_m = bm - m
         if pad_m:
             x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
         y = _qmv(x2, w.codes, w.scales, fmt=w.fmt, group=w.group, k=k)
@@ -87,9 +91,10 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("fmt", "group", "k"))
 def _qmv(x, codes, scales, *, fmt: QFormat, group: int, k: int):
-    """Dequant-fused GEMV: x [8, K] x packed w [K, N] -> [8, N].
+    """Dequant-fused GEMV: x [bm<=32, K] x packed w [K, N] -> [bm, N].
     Grid over N tiles; the full K stays in VMEM per tile (K <= 8192)."""
     n = codes.shape[-1]
+    bm = x.shape[0]
     bn = 256 if n % 256 == 0 else 128
     cpb = fmt.codes_per_byte if fmt.is_sub_byte else 1
     kernel = functools.partial(_qmv_kernel, fmt=fmt, group=group, k=k)
@@ -97,20 +102,20 @@ def _qmv(x, codes, scales, *, fmt: QFormat, group: int, k: int):
         kernel,
         grid=(n // bn,),
         in_specs=[
-            pl.BlockSpec((8, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k // cpb, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((k // group, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, bn), lambda j: (0, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bm, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 8 * n * k,
-            bytes_accessed=8 * k * 2 + k * n // cpb + 8 * n * 2,
+            flops=2 * bm * n * k,
+            bytes_accessed=bm * k * 2 + k * n // cpb + bm * n * 2,
             transcendentals=0,
         ),
     )(x, codes, scales)

@@ -27,9 +27,10 @@ from koifish_tpu.config import ModelCard, SamplerCard
 from koifish_tpu.dtypes import QFormat
 from koifish_tpu.ops.sampling import sample_logits
 from koifish_tpu.serve import kvcache as kvc
-from koifish_tpu.serve.engine import (_jit_decode_sample,
-    _jit_decode_sample_k, _jit_prefill)
+from koifish_tpu.serve.engine import (_jit_decode_sample_layered,
+    _jit_decode_sample_layered_k, _jit_prefill)
 from koifish_tpu.serve.kvcache import KVCache, init_cache
+from koifish_tpu.serve.layered import LayeredKVCache, split_cache
 
 
 @dataclasses.dataclass
@@ -58,15 +59,20 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
-def merge_lane(pool: KVCache, lane: KVCache, slot: int) -> KVCache:
-    """Copy a 1-lane cache into pool slot ``slot`` (admission)."""
+def merge_lane(pool: LayeredKVCache, lane: KVCache, slot: int,
+               ) -> LayeredKVCache:
+    """Copy a 1-lane [L,1,...] cache into pool slot ``slot`` (admission).
+    ``slot`` is a host int, so each per-layer write is one static-index
+    dynamic_update_slice — no scatter, in place on the dead pool leaf."""
     def put(dst, src):
-        return dst.at[:, slot].set(src[:, 0]) if dst is not None else None
+        if dst is None:
+            return None
+        return tuple(d.at[slot].set(src[l, 0]) for l, d in enumerate(dst))
     return dataclasses.replace(
         pool,
         k=put(pool.k, lane.k), v=put(pool.v, lane.v),
-        k_scale=put(pool.k_scale, lane.k_scale) if pool.k_scale is not None else None,
-        v_scale=put(pool.v_scale, lane.v_scale) if pool.v_scale is not None else None,
+        k_scale=put(pool.k_scale, lane.k_scale),
+        v_scale=put(pool.v_scale, lane.v_scale),
         pos=pool.pos.at[slot].set(lane.pos[0]))
 
 
@@ -88,8 +94,10 @@ class ContinuousBatcher:
         self.kv_fmt = kv_fmt
         self.sampler = sampler or SamplerCard()
         self.rng = rng if rng is not None else jax.random.PRNGKey(self.sampler.seed)
-        self.pool = init_cache(card.n_layer, n_slots, cache_size,
-                               card.n_kv_head, card.head_dim, fmt=kv_fmt)
+        # per-layer leaves + per-lane slots (uniform=False masked writes)
+        self.pool = split_cache(
+            init_cache(card.n_layer, n_slots, cache_size, card.n_kv_head,
+                       card.head_dim, fmt=kv_fmt), uniform=False)
         self.slots: List[Optional[Request]] = [None] * n_slots
         self.waiting: List[Request] = []
         self.cur_tok = jnp.zeros((n_slots,), jnp.int32)
@@ -128,15 +136,19 @@ class ContinuousBatcher:
             if b >= max_prompt_len:
                 break
             b *= 2
-        # decode executable (the single static-shape step)
+        # decode executable (the single static-shape step). The decode jit
+        # donates its cache argument, so warm up on a throwaway copy —
+        # otherwise self.pool's buffers would be invalidated here.
+        import jax.tree_util as jtu
+        pool_copy = jtu.tree_map(lambda a: a + 0, self.pool)
         if self.decode_chunk > 1:
-            toks_k, _, _ = _jit_decode_sample_k(
-                self.card, self.decode_params, self.cur_tok, self.pool,
+            toks_k, _, _ = _jit_decode_sample_layered_k(
+                self.card, self.decode_params, self.cur_tok, pool_copy,
                 self.rng, self.sampler, self.decode_chunk)
             jax.block_until_ready(toks_k)
         else:
-            tok, _, _ = _jit_decode_sample(
-                self.card, self.decode_params, self.cur_tok, self.pool,
+            tok, _, _ = _jit_decode_sample_layered(
+                self.card, self.decode_params, self.cur_tok, pool_copy,
                 self.rng, self.sampler)
             jax.block_until_ready(tok)
 
@@ -200,13 +212,13 @@ class ContinuousBatcher:
             return bool(self.waiting)
         t0 = time.perf_counter()
         if self.decode_chunk > 1:
-            toks_k, self.pool, self.rng = _jit_decode_sample_k(
+            toks_k, self.pool, self.rng = _jit_decode_sample_layered_k(
                 self.card, self.decode_params, self.cur_tok, self.pool,
                 self.rng, self.sampler, self.decode_chunk)
             steps = toks_k.tolist()                 # [k, B] — one sync
             self.cur_tok = toks_k[-1]
         else:
-            tok, self.pool, self.rng = _jit_decode_sample(
+            tok, self.pool, self.rng = _jit_decode_sample_layered(
                 self.card, self.decode_params, self.cur_tok, self.pool,
                 self.rng, self.sampler)
             steps = [tok.tolist()]
