@@ -24,8 +24,9 @@ kernel processes ``HB`` heads per grid program with an unrolled in-kernel
 loop — grid overhead, not FLOPs, dominates single-token attention.
 
 Layout contract (serve/kvcache.py): cache is head-major [B, H, S, D]
-(reshaped to [BH, S, D] views, no copies); scales [BH, S] are passed
-padded to [BH, 8, S] so their tiles meet the (8, 128) min-tile rule.
+(reshaped to [BH, S, D] views, no copies); scales ride as flat [BH, S]
+rows blocked (8, BS) when HB==8, else broadcast-padded to [BH, 8, S] to
+meet the (8, 128) min-tile rule on small shapes.
 """
 from __future__ import annotations
 
@@ -92,8 +93,17 @@ def decode_attention_quant_or_none(
         qg.astype(jnp.bfloat16)).reshape(bh, GPAD, d)
     kc = k_codes.reshape(bh, s, k_codes.shape[-1])
     vc = v_codes.reshape(bh, s, v_codes.shape[-1])
-    ks = jnp.broadcast_to(k_scale.reshape(bh, 1, s), (bh, 8, s)).astype(jnp.float32)
-    vs = jnp.broadcast_to(v_scale.reshape(bh, 1, s), (bh, 8, s)).astype(jnp.float32)
+    if hb == 8:
+        # scales as flat [BH, S] blocked (8, BS): one row per (batch,
+        # head) pair — the [BH, 8, S] sublane-padded layout materialized
+        # an 8x broadcast copy (450 MB/step across a 28-layer decode)
+        ks = k_scale.reshape(bh, s).astype(jnp.float32)
+        vs = v_scale.reshape(bh, s).astype(jnp.float32)
+    else:  # small-shape fallback keeps the (8,128) min tile
+        ks = jnp.broadcast_to(k_scale.reshape(bh, 1, s),
+                              (bh, 8, s)).astype(jnp.float32)
+        vs = jnp.broadcast_to(v_scale.reshape(bh, 1, s),
+                              (bh, 8, s)).astype(jnp.float32)
     lens = jnp.repeat(lengths, hkv).astype(jnp.int32)           # [BH]
 
     out = _decode_kernel_call(qp, kc, vc, ks, vs, lens, scale=scale,
@@ -112,9 +122,15 @@ def _decode_kernel_call(qp, kc, vc, ks, vs, lens, *, scale, s, d, dv, hb,
     HB = hb
     bh = qp.shape[0]
     grid = (bh // HB, s // BS)
-    kernel = functools.partial(_decode_kernel, scale=scale, HB=HB, int4=int4)
+    flat_scales = ks.ndim == 2
+    kernel = functools.partial(_decode_kernel, scale=scale, HB=HB, int4=int4,
+                               flat_scales=flat_scales)
     dk_c = kc.shape[-1]     # packed (d//2) or full d
     dv_c = vc.shape[-1]
+    if flat_scales:
+        s_spec = pl.BlockSpec((HB, BS), lambda h, j, lens: (h, j))
+    else:
+        s_spec = pl.BlockSpec((HB, 8, BS), lambda h, j, lens: (h, 0, j))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -122,8 +138,8 @@ def _decode_kernel_call(qp, kc, vc, ks, vs, lens, *, scale, s, d, dv, hb,
             pl.BlockSpec((HB, GPAD, d), lambda h, j, lens: (h, 0, 0)),
             pl.BlockSpec((HB, BS, dk_c), lambda h, j, lens: (h, j, 0)),
             pl.BlockSpec((HB, BS, dv_c), lambda h, j, lens: (h, j, 0)),
-            pl.BlockSpec((HB, 8, BS), lambda h, j, lens: (h, 0, j)),
-            pl.BlockSpec((HB, 8, BS), lambda h, j, lens: (h, 0, j)),
+            s_spec,
+            s_spec,
         ],
         out_specs=pl.BlockSpec((HB, GPAD, dv), lambda h, j, lens: (h, 0, 0)),
         scratch_shapes=[
@@ -151,7 +167,8 @@ def _unpack4(b):
 
 
 def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-                   o_acc, m_acc, l_acc, *, scale, HB, int4):
+                   o_acc, m_acc, l_acc, *, scale, HB, int4,
+                   flat_scales=False):
     hg = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -170,7 +187,8 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
             kb = _unpack4(k_ref[h]) if int4 \
                 else k_ref[h].astype(jnp.bfloat16)
             s_int = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32)
-            ksr = ks_ref[h][0:1, :]                        # [1, BS]
+            ksr = ks_ref[h:h + 1, :] if flat_scales \
+                else ks_ref[h][0:1, :]                     # [1, BS]
             logits = s_int * ksr * scale                   # K dequant on logits
             spos = j * BS + jax.lax.broadcasted_iota(jnp.int32,
                                                      logits.shape, 1)
@@ -184,7 +202,9 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
             l_acc[h * GPAD:(h + 1) * GPAD] = \
                 l_acc[h * GPAD:(h + 1) * GPAD] * alpha \
                 + jnp.sum(p, axis=-1, keepdims=True)
-            pv = (p * vs_ref[h][0:1, :]).astype(jnp.bfloat16)
+            vsr = vs_ref[h:h + 1, :] if flat_scales \
+                else vs_ref[h][0:1, :]
+            pv = (p * vsr).astype(jnp.bfloat16)
             vb = _unpack4(v_ref[h]) if int4 \
                 else v_ref[h].astype(jnp.bfloat16)
             o_acc[h] = o_acc[h] * alpha + jnp.dot(

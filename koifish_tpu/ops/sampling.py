@@ -19,16 +19,28 @@ def sample_logits(
     top_k: int = 50,
     top_p: float = 0.95,
     min_p: float = 0.0,
+    approx: bool = True,
 ) -> jax.Array:
-    """Returns sampled token ids [B]. temperature<=0 → greedy."""
-    lf = logits.astype(jnp.float32)
-    if temperature <= 0.0:
-        return jnp.argmax(lf, axis=-1).astype(jnp.int32)
-    lf = lf / temperature
+    """Returns sampled token ids [B]. temperature<=0 → greedy.
 
-    if top_k and top_k > 0 and top_k < lf.shape[-1]:
-        vals, idx = jax.lax.top_k(lf, top_k)          # [B, K] sorted desc
+    ``approx``: use ``jax.lax.approx_max_k`` for the top-k cut (TPU
+    in-register partial reduction, ~10x faster than the exact sort on a
+    152k vocab — it was 10% of the Qwen3 decode step). Recall ≥ the
+    default 0.95 target on the top-50; set False for exact sampling."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if top_k and top_k > 0 and top_k < logits.shape[-1]:
+        # cut at the logits dtype (temperature scaling is monotonic — the
+        # top-k set is invariant), upcast only the K survivors: the full
+        # [B, V] f32 materialization was ~10% of the decode step
+        if approx:
+            vals, idx = jax.lax.approx_max_k(logits, top_k)  # [B, K] desc
+        else:
+            vals, idx = jax.lax.top_k(logits, top_k)
+        vals = vals.astype(jnp.float32) / temperature
     else:
+        lf = logits.astype(jnp.float32) / temperature
         idx = jnp.broadcast_to(jnp.arange(lf.shape[-1])[None], lf.shape)
         vals = jnp.sort(lf, axis=-1)[:, ::-1]
         idx = jnp.take_along_axis(idx, jnp.argsort(lf, axis=-1)[:, ::-1], axis=-1)

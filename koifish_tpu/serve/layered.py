@@ -157,7 +157,9 @@ def decode_step_layered(card: ModelCard, params: Params, token: jax.Array,
         x = x + mlp(card, lp, h)
 
     x = _norm(card, x, params["ln_f"], params.get("ln_f_b"))
-    logits = lm_head(card, params, x)[:, 0]
+    # bf16 logits: halves the [B, V] write + the sampler's read; the
+    # sampler upcasts to f32 after its top-k cut
+    logits = lm_head(card, params, x, out_dtype=jnp.bfloat16)[:, 0]
     lc = dataclasses.replace(
         lc, k=tuple(k_out), v=tuple(v_out),
         k_scale=tuple(ks_out) if ks_out else lc.k_scale,
