@@ -58,7 +58,8 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
     base_ok = (
         _platform_is_tpu()
         and w.fmt in (QFormat.INT8, QFormat.INT4, QFormat.NF4,
-                      QFormat.INT3, QFormat.NF3)
+                      QFormat.INT3, QFormat.NF3, QFormat.INT2,
+                      QFormat.TERNARY, QFormat.BINARY)
         and w.zeros is None
         and k % 1024 == 0 and n % 128 == 0
         and w.group == 128
@@ -87,6 +88,39 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
     else:
         return _ref_qmatmul(x, w, out_dtype)
     return y.reshape(*lead, n).astype(out_dtype)
+
+
+
+def _unpack_block(codes, fmt, rows, group):
+    """In-kernel dequant of a packed code block -> [rows, bn] f32 values
+    (no scales). Group-local block-split order (quant/packing.py): the
+    byte block [rows/cpb, bn] reshapes to [ng, sub, bn]; bit-plane j
+    holds rows j*sub..(j+1)*sub of each group — unpack is cpb contiguous
+    block copies, no sublane interleave. Mosaic can't shift u8 vectors,
+    so codes widen to i32 first."""
+    if fmt is QFormat.INT8:
+        return codes.astype(jnp.float32)
+    bits = fmt.pack_bits
+    cpb = fmt.codes_per_byte
+    ng, sub = rows // group, group // cpb
+    c32 = codes.astype(jnp.int32).reshape(ng, sub, -1)
+    mask = (1 << bits) - 1
+    parts = [(c32 >> (bits * j)) & mask for j in range(cpb)]
+    raw = jnp.stack(parts, axis=1).reshape(rows, -1)
+    if fmt in (QFormat.NF4, QFormat.NF3):
+        # codebook lookup as a select chain — Mosaic kernels can't
+        # capture external constants and vector gathers are slow
+        book = NF4_LIST if fmt is QFormat.NF4 else NF3_LIST
+        wf = jnp.full(raw.shape, book[0], jnp.float32)
+        for i in range(1, len(book)):
+            wf = jnp.where(raw == i, book[i], wf)
+        return wf
+    if fmt is QFormat.TERNARY:          # {0,1,2} -> {-1,0,+1}
+        return raw.astype(jnp.float32) - 1.0
+    if fmt is QFormat.BINARY:           # {0,1} -> {-1,+1}
+        return raw.astype(jnp.float32) * 2.0 - 1.0
+    # signed INT4/INT3/INT2 stored biased by 2**(bits-1)
+    return raw.astype(jnp.float32) - float(1 << (fmt.bits - 1))
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "group", "k"))
@@ -122,24 +156,7 @@ def _qmv(x, codes, scales, *, fmt: QFormat, group: int, k: int):
 
 
 def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, fmt, group, k):
-    codes = w_ref[:]
-    if fmt is QFormat.INT8:
-        wf = codes.astype(jnp.float32)
-    else:
-        ng, sub = k // group, group // 2
-        c32 = codes.astype(jnp.int32).reshape(ng, sub, -1)
-        lo = c32 & 0x0F
-        hi = (c32 >> 4) & 0x0F
-        raw = jnp.stack([lo, hi], axis=1).reshape(k, -1)
-        if fmt in (QFormat.NF4, QFormat.NF3):
-            book = NF4_LIST if fmt is QFormat.NF4 else NF3_LIST
-            wf = jnp.full(raw.shape, book[0], jnp.float32)
-            for i in range(1, len(book)):
-                wf = jnp.where(raw == i, book[i], wf)
-        elif fmt is QFormat.INT3:
-            wf = raw.astype(jnp.float32) - 4.0
-        else:
-            wf = raw.astype(jnp.float32) - 8.0
+    wf = _unpack_block(w_ref[:], fmt, k, group)
     s = s_ref[:].astype(jnp.float32)
     wf = wf.reshape(k // group, group, -1) * s[:, None, :]
     wf = wf.reshape(k, -1).astype(jnp.bfloat16)
@@ -186,30 +203,7 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, fmt, group, bk):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    codes = w_ref[:]
-    if fmt is QFormat.INT8:
-        wf = codes.astype(jnp.float32)
-    else:
-        # unpack 2 nibbles per byte along axis 0 (packed axis = K);
-        # Mosaic can't shift i8 vectors — widen to i32 first. Group-local
-        # block-split pack order: unpack = contiguous 64-row block copies
-        # per 128-group (no per-row sublane interleave).
-        ng, sub = bk // group, group // 2
-        c32 = codes.astype(jnp.int32).reshape(ng, sub, -1)
-        lo = c32 & 0x0F
-        hi = (c32 >> 4) & 0x0F
-        raw = jnp.stack([lo, hi], axis=1).reshape(bk, -1)
-        if fmt in (QFormat.NF4, QFormat.NF3):
-            # codebook lookup as a select chain — Mosaic kernels can't
-            # capture external constants and vector gathers are slow
-            book = NF4_LIST if fmt is QFormat.NF4 else NF3_LIST
-            wf = jnp.full(raw.shape, book[0], jnp.float32)
-            for i in range(1, len(book)):
-                wf = jnp.where(raw == i, book[i], wf)
-        elif fmt is QFormat.INT3:   # nibble-stored, biased by 4
-            wf = raw.astype(jnp.float32) - 4.0
-        else:  # INT4 biased by 8
-            wf = raw.astype(jnp.float32) - 8.0
+    wf = _unpack_block(w_ref[:], fmt, bk, group)
     # apply per-group scales: [bk/group, bn] -> broadcast over group rows
     s = s_ref[:].astype(jnp.float32)
     wf = wf.reshape(bk // group, group, -1) * s[:, None, :]

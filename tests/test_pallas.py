@@ -24,7 +24,8 @@ def interpret_mode():
 
 
 @pytest.mark.parametrize("fmt", [QFormat.INT8, QFormat.INT4, QFormat.NF4,
-                                 QFormat.INT3, QFormat.NF3])
+                                 QFormat.INT3, QFormat.NF3, QFormat.INT2,
+                                 QFormat.TERNARY, QFormat.BINARY])
 def test_qmm_kernel_matches_ref(fmt):
     key = jax.random.PRNGKey(0)
     M, K, N = 16, 1024, 256
@@ -193,7 +194,8 @@ def test_int4_kv_pack_roundtrip():
 
 
 @pytest.mark.parametrize("fmt", [QFormat.INT8, QFormat.INT4, QFormat.NF4,
-                                 QFormat.NF3])
+                                 QFormat.NF3, QFormat.INT2, QFormat.TERNARY,
+                                 QFormat.BINARY])
 def test_qmv_kernel_matches_ref(fmt):
     """Decode GEMV path (m<=8, full-K per N tile)."""
     key = jax.random.PRNGKey(0)
