@@ -91,6 +91,9 @@ def main(argv=None) -> int:
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"[koifish] arch={card.arch} layers={card.n_layer} "
           f"params={n_params/1e6:.1f}M device={jax.default_backend()}")
+    if tcard.nn_structure:    # DUMP_SWITCH.nn_structure analog
+        from koifish_tpu.utils.dump import model_structure
+        print(model_structure(state.params))
 
     train_ds = p.datasets.get("train")
     if train_ds is None or not train_ds.glob:
@@ -293,7 +296,8 @@ def main(argv=None) -> int:
         card, tcard, state, batches,
         total_steps=total_steps, log_fn=log_fn, eval_fn=eval_fn,
         save_fn=save_fn, qcard=qcard, trainable=trainable, hook_fn=hook_fn)
-    csv = os.path.join(args.out_dir, "koifish_loss.csv")
+    csv = tcard.train_csv_path or os.path.join(args.out_dir,
+                                               "koifish_loss.csv")
     infos.save_csv(csv)
     if infos.rows:
         print(f"[koifish] done: {len(infos.rows)} iters in {time.time()-t0:.0f}s, "

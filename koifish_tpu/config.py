@@ -377,6 +377,14 @@ class TrainCard:
     gpt_every: int = 0               # in-training chat sample cadence
     save_every: int = 0
     most_iter: int = -1              # cap iterations (DEBUG.N_mostiter analog)
+    # DEBUG/DUMP switch analogs (DEUG_SWITCH/DUMP_SWITCH,
+    # CLI_params.hpp:720-785) — the TPU-meaningful subset; the CUDA
+    # kernel-version selectors (verInferQKV, T_GEMM, ...) have no analog
+    nn_structure: bool = True        # dump the param tree at startup
+    check_tensor_norm: bool = False  # per-leaf grad-norm watch in metrics
+    graph_dump: str = ""             # write the step's StableHLO here
+    time_most: float = 0.0           # abort training after N seconds (Time_most)
+    train_csv_path: str = ""         # loss CSV override (DUMP_SWITCH)
     seed: int = 42
 
     @classmethod
@@ -403,6 +411,16 @@ class TrainCard:
             card.scheduler = str(sched["type"]).lower()
         if debug:
             card.most_iter = int(debug.get("most_iter", card.most_iter))
+            card.nn_structure = bool(debug.get("nn_structure",
+                                               card.nn_structure))
+            card.check_tensor_norm = bool(debug.get("check_tensor_norm",
+                                                    card.check_tensor_norm))
+            card.graph_dump = str(debug.get("graph_dump", card.graph_dump))
+            card.time_most = float(debug.get("Time_most",
+                                             debug.get("time_most",
+                                                       card.time_most)))
+            card.train_csv_path = str(debug.get("train_csv_path",
+                                                card.train_csv_path))
         return card
 
 

@@ -176,6 +176,13 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
             weight_decay=tcard.weight_decay, muon_momentum=tcard.muon_momentum,
             grad_clip=tcard.grad_clip)
         metrics = dict(metrics, loss=loss, lr=lr)
+        if tcard.check_tensor_norm:
+            # per-leaf grad norms (DEBUG.check_tensor_norm / watch_Tensors
+            # analog) — the host maps indices to leaf paths
+            metrics["leaf_norms"] = jnp.stack([
+                jnp.linalg.norm(g.astype(jnp.float32)) if g.size
+                else jnp.float32(0.0)
+                for g in jax.tree_util.tree_leaves(grads)])
         rng, _ = jax.random.split(state.rng)
         return TrainState(params=params, opt=opt, rng=rng), metrics
 
@@ -227,11 +234,26 @@ def train_loop(
                            trainable=trainable)
     infos = StepInfo()
     tokens_per_batch = None
+    leaf_paths = None
+    loop_t0 = time.perf_counter()
     for it, batch in enumerate(batches):
         if 0 <= tcard.most_iter <= it:
             break
         if it >= total_steps:
             break
+        if tcard.time_most > 0 and \
+                time.perf_counter() - loop_t0 > tcard.time_most:
+            if log_fn:
+                log_fn(f"[{it}] time budget {tcard.time_most}s exhausted "
+                       f"(DEBUG.Time_most) — stopping")
+            break
+        if it == 0 and tcard.graph_dump:
+            # DEBUG.graph_dump analog: the traced step's StableHLO is the
+            # TGraph — write it out for inspection
+            with open(tcard.graph_dump, "w") as f:
+                f.write(step.lower(state, batch).as_text())
+            if log_fn:
+                log_fn(f"[0] step graph -> {tcard.graph_dump}")
         t0 = time.perf_counter()
         state, metrics = step(state, batch)
         loss = float(metrics["loss"])
@@ -253,10 +275,19 @@ def train_loop(
         if log_fn and tcard.dump_every and it % tcard.dump_every == 0:
             from koifish_tpu.utils.mfu import step_mfu
             mfu = step_mfu(card, tokens_per_batch, dt)
+            extra = f" mfu={mfu:.1%}" if mfu is not None else ""
+            if "leaf_norms" in metrics:      # check_tensor_norm watch
+                if leaf_paths is None:
+                    from koifish_tpu.utils.dump import _path_str
+                    leaf_paths = [
+                        _path_str(pth) for pth, _ in
+                        jax.tree_util.tree_flatten_with_path(state.params)[0]]
+                norms = jnp.asarray(metrics["leaf_norms"])
+                wi = int(jnp.argmax(norms))
+                extra += f" worst_leaf={leaf_paths[wi]}:{float(norms[wi]):.3f}"
             log_fn(f"[{it}] loss={loss:.4f} lr={float(metrics['lr']):.2e} "
                    f"gnorm={float(metrics['grad_norm']):.3f} "
-                   f"T={dt:.2f}s {tps/1e3:.1f}K tok/s"
-                   + (f" mfu={mfu:.1%}" if mfu is not None else ""))
+                   f"T={dt:.2f}s {tps/1e3:.1f}K tok/s" + extra)
         if hook_fn is not None:
             new_state = hook_fn(state, it, loss)
             if new_state is not None:

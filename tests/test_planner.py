@@ -50,3 +50,44 @@ def test_plan_8b_training_shards():
     assert t.per_chip_bytes < 16 * 1024 ** 3
     assert set(t.mesh) <= {"dp", "fsdp"}
     assert t.summary()
+
+
+def test_debug_switches_parse_and_run():
+    """DEBUG/DUMP switch analogs (reference CLI_params.hpp:720-785):
+    graph_dump writes StableHLO, time_most bounds the loop,
+    check_tensor_norm surfaces per-leaf grad norms, nn_structure dumps."""
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from koifish_tpu.config import CLIParams
+    from koifish_tpu.train.trainer import init_train_state, train_loop
+    from koifish_tpu.utils.dump import model_structure
+
+    d = tempfile.mkdtemp()
+    hlo = os.path.join(d, "step.stablehlo")
+    cfg = {
+        "model": {"arch": "QWEN3", "vocab_size": 64,
+                  "parameter": {"Layer": 2, "transformer": {
+                      "Ctx": 16, "Embed": 32, "Head": 2, "KVHead": 1,
+                      "Ffn": 64, "head_dim": 16}}},
+        "train": {"batch": 2, "learning-rate": 0.01, "dump-every": 1},
+        "debug": {"graph_dump": hlo, "check_tensor_norm": True,
+                  "Time_most": 300.0, "most_iter": 3},
+    }
+    p = CLIParams.from_json(cfg)
+    assert p.train.graph_dump == hlo and p.train.check_tensor_norm
+    assert p.train.time_most == 300.0
+    state = init_train_state(p.model, p.train)
+    toks = jnp.zeros((1, 2, 17), jnp.int32)
+    lines = []
+    state, infos = train_loop(p.model, p.train, state,
+                              iter([{"tokens": toks}] * 5), total_steps=5,
+                              log_fn=lines.append)
+    assert len(infos.rows) == 3                   # most_iter cap
+    assert os.path.exists(hlo) and "module @jit_step" in open(hlo).read()[:200]
+    assert any("worst_leaf=" in ln for ln in lines)
+    txt = model_structure(state.params)
+    assert "total:" in txt and "wte" in txt
