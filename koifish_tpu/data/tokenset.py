@@ -113,6 +113,33 @@ class TokenDataset:
             logging.getLogger("koifish_tpu").info(
                 "TokenDataset.batches: dropping %d trailing windows per epoch "
                 "(%d windows %% group %d)", dropped, len(windows), group)
+        # native fast path: full shuffled schedule -> C++ prefetch thread
+        # (native/batchserver.cpp — the SampLoader-stays-ahead analog).
+        # Python keeps determinism (the rng permutation); masked shards
+        # (SFT) take the python path below.
+        any_mask = any(m is not None for _, m in self.shards)
+        if not any_mask:
+            try:
+                from koifish_tpu.native import NativeBatchServer
+                warr = np.asarray(windows, np.int64)      # [W, 2]
+                scheds = []
+                for _ in range(epochs):
+                    order = rng.permutation(len(windows))
+                    usable = (len(order) // group) * group
+                    scheds.append(warr[order[:usable]])
+                sched = np.concatenate(scheds, axis=0)
+                srv = NativeBatchServer(
+                    self.files, sched[:, 0].astype(np.int32),
+                    sched[:, 1], group, need)
+                try:
+                    for tok in srv:
+                        yield {"tokens": tok.reshape(accum, batch, need)}
+                finally:
+                    srv.close()
+                return
+            except (RuntimeError, OSError):
+                rng = np.random.default_rng(seed)  # replay identically
+
         for _ in range(epochs):
             order = rng.permutation(len(windows))
             for i in range(0, len(order) - group + 1, group):

@@ -67,6 +67,14 @@ def load_native() -> Optional[ctypes.CDLL]:
     lib.kst_data.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.kst_data.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.kst_close.argtypes = [ctypes.c_void_p]
+    lib.kbs_new.restype = ctypes.c_void_p
+    lib.kbs_new.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    lib.kbs_next.restype = ctypes.c_int32
+    lib.kbs_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+    lib.kbs_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -229,3 +237,54 @@ class NativeSafetensors:
 
 def native_available() -> bool:
     return load_native() is not None
+
+
+# ---------------------------------------------------------------------------
+# Prefetching batch server (native SampLoader loop, native/batchserver.cpp)
+# ---------------------------------------------------------------------------
+
+class NativeBatchServer:
+    """C++ producer thread gathering shuffled token windows from mmap'd
+    shards into a ring of batch buffers — stays ahead of the device while
+    Python only memcpy-drains. Determinism lives in the caller: the full
+    (shard, offset) schedule in final batch order is handed over at
+    construction."""
+
+    def __init__(self, paths: Sequence[str], sched_shard: np.ndarray,
+                 sched_off: np.ndarray, group: int, width: int,
+                 depth: int = 3):
+        self._lib = load_native()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        blob = b"".join(p.encode() + b"\0" for p in paths)
+        ss = np.ascontiguousarray(sched_shard, dtype=np.int32)
+        so = np.ascontiguousarray(sched_off, dtype=np.int64)
+        self.group, self.width = group, width
+        self.n_batches = len(ss) // group
+        self._h = self._lib.kbs_new(
+            blob, len(paths),
+            ss.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            so.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(ss), group, width, depth)
+        if not self._h:
+            raise RuntimeError("kbs_new failed (bad shard?)")
+
+    def __iter__(self):
+        out = np.empty((self.group, self.width), np.int32)
+        for _ in range(self.n_batches):
+            ok = self._lib.kbs_next(
+                self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if not ok:
+                break
+            yield out.copy()
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.kbs_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -94,3 +94,30 @@ def test_native_safetensors_matches_python_reader(tmp_path):
     assert "__koifish__config__" in kt and "w" in kt
     np.testing.assert_array_equal(np.asarray(kt["w"]),
                                   tensors["a.weight"])
+
+
+def test_native_batch_server_matches_python(tmp_path):
+    """NativeBatchServer (C++ prefetch thread) must reproduce the python
+    batch stream bit-exactly: same shards, same seed, same order."""
+    import numpy as np
+
+    from koifish_tpu.data.tokenset import TokenDataset, write_shard
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        toks = rng.integers(0, 50000, size=4000, dtype=np.uint32)
+        write_shard(str(tmp_path / f"s{i}.bin"), toks, magic=20251218)
+    ds = TokenDataset(str(tmp_path / "s*.bin"))
+
+    native = [b["tokens"].copy() for b in
+              ds.batches(batch=4, seq_len=64, seed=7, epochs=2)]
+
+    # force the python path by making masks "present"
+    ds2 = TokenDataset(str(tmp_path / "s*.bin"))
+    ds2.shards = [(t, np.ones(len(t), bool)) for t, _ in ds2.shards]
+    python = [b["tokens"].copy() for b in
+              ds2.batches(batch=4, seq_len=64, seed=7, epochs=2)]
+
+    assert len(native) == len(python) > 4
+    for a, b in zip(native, python):
+        np.testing.assert_array_equal(a, b)
