@@ -40,6 +40,12 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.tp > 1 or args.dp > 1 or args.pp > 1:
+        # latency-hiding scheduler + collective matmul (must precede
+        # backend init) — parallel/overlap.py. CPU aborts on TPU flags.
+        if args.device != "cpu":
+            from koifish_tpu.parallel.overlap import enable_overlap_flags
+            enable_overlap_flags()
     if args.device == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")

@@ -78,7 +78,8 @@ def _is_float(p):
 
 
 def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
-                    qcard=None, trainable=None) -> Callable:
+                    qcard=None, trainable=None,
+                    compiler_options=None) -> Callable:
     """Builds the jitted (state, batch) -> (state, metrics) step.
 
     qcard:     QuantCard → fake-quant QAT (or gama training when params
@@ -116,7 +117,8 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
                 for f in flags]
         return loss, jax.tree_util.tree_unflatten(treedef, stub)
 
-    @functools.partial(jax.jit, donate_argnames=("state",))
+    @functools.partial(jax.jit, donate_argnames=("state",),
+                       compiler_options=compiler_options)
     def step(state: TrainState, batch: Dict[str, jax.Array]):
         tokens = batch["tokens"]            # [A, B, T+1] (A = accum)
         loss_mask = batch.get("loss_mask")  # [A, B, T+1] or None
@@ -230,8 +232,15 @@ def train_loop(
     Optimizer.cpp:176-179). ``hook_fn(state, it, loss)`` runs after each
     step and may return a replacement state (Fuyou swarm rotation,
     gLLM.cpp:673-677)."""
+    compiler_options = None
+    if jax.device_count() > 1:
+        # multi-chip: latency-hiding scheduler + collective matmul so
+        # TP/FSDP collectives overlap compute (parallel/overlap.py)
+        from koifish_tpu.parallel.overlap import overlap_compiler_options
+        compiler_options = overlap_compiler_options()
     step = make_train_step(card, tcard, total_steps, qcard=qcard,
-                           trainable=trainable)
+                           trainable=trainable,
+                           compiler_options=compiler_options)
     infos = StepInfo()
     tokens_per_batch = None
     leaf_paths = None
