@@ -31,6 +31,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ctx", type=int, default=1024)
     ap.add_argument("--device", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--csv", default="chat.csv")
+    ap.add_argument("--decode-chunk", type=int, default=8,
+                    help="decode steps per dispatch (eos checked per chunk;"
+                         " amortizes the per-dispatch host RTT)")
     ap.add_argument("--think", action="store_true", help="enable thinking mode")
     ap.add_argument("--interactive", action="store_true",
                     help="multi-turn REPL on stdin (cache persists across turns)")
@@ -130,7 +133,8 @@ def main(argv=None) -> int:
         t0 = time.time()
         toks, cache = generate(card, params, jnp.asarray([ids], jnp.int32),
                                cache, sampler, max_new_tokens=args.max_new,
-                               eos_id=eos, decode_params=dparams)
+                               eos_id=eos, decode_params=dparams,
+                               decode_chunk=args.decode_chunk)
         dt = time.time() - t0
         out_ids = [t for t in toks[0].tolist() if t != eos]
         answer = tokenizer.decode(out_ids)

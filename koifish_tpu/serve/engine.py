@@ -256,10 +256,14 @@ def generate(
     eos_id: int = -1,
     rng: Optional[jax.Array] = None,
     decode_params: Optional[Params] = None,
+    decode_chunk: int = 1,
 ) -> Tuple[jax.Array, KVCache]:
     """Host-driven generation loop over the jitted decode step. Returns
     (generated tokens [B, <=max_new], cache). ``decode_params``: optional
-    layer-stacked params (serve.stacked) used for the decode steps."""
+    layer-stacked params (serve.stacked) used for the decode steps.
+    ``decode_chunk``: decode+sample steps per dispatch (eos is checked on
+    the host every chunk — on tunneled runtimes per-token dispatch costs
+    a ~30 ms RTT, so chat should run chunk 4-16)."""
     sampler = sampler or SamplerCard()
     rng = rng if rng is not None else jax.random.PRNGKey(sampler.seed)
     dparams = decode_params if decode_params is not None else params
@@ -275,12 +279,22 @@ def generate(
     # one conversion copy here buys in-place slot writes on every step
     from koifish_tpu.serve.layered import join_cache
     lc = _jit_split_cache(cache, uniform=True)
-    for _ in range(max_new_tokens - 1):
+    remaining = max_new_tokens - 1
+    while remaining > 0:
         if bool(done.all()):
             break
-        tok, lc, rng = _jit_decode_sample_layered(card, dparams, tok, lc,
-                                                  rng, sampler)
-        tok = jnp.where(done, eos_id, tok)
-        done = done | (tok == eos_id)
-        out.append(tok)
+        k = min(decode_chunk, remaining)
+        if k > 1:
+            toks, lc, rng = _jit_decode_sample_layered_k(
+                card, dparams, tok, lc, rng, sampler, k)
+            steps = [toks[i] for i in range(k)]
+        else:
+            tok, lc, rng = _jit_decode_sample_layered(card, dparams, tok, lc,
+                                                      rng, sampler)
+            steps = [tok]
+        for t in steps:
+            tok = jnp.where(done, eos_id, t)
+            done = done | (tok == eos_id)
+            out.append(tok)
+        remaining -= k
     return jnp.stack(out, axis=1), join_cache(lc)

@@ -163,3 +163,18 @@ def test_stack_layers_heterogeneous_returns_none():
                               "group_size": 16})
     qp = quantize_params(params, qc)
     assert stack_layers(qp) is None
+
+
+def test_generate_chunked_matches_per_token():
+    """decode_chunk > 1 must produce the same tokens as per-token decode
+    (greedy — sampler rng folding is identical either way)."""
+    card = tiny_card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    prompt = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    s = SamplerCard(temperature=0.0)
+    c1 = init_cache(card.n_layer, 1, 32, card.n_kv_head, card.head_dim)
+    t1, _ = generate(card, params, prompt, c1, s, max_new_tokens=9)
+    c2 = init_cache(card.n_layer, 1, 32, card.n_kv_head, card.head_dim)
+    t2, _ = generate(card, params, prompt, c2, s, max_new_tokens=9,
+                     decode_chunk=4)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
