@@ -127,17 +127,32 @@ def _decode_kernel_call(qp, kc, vc, ks, vs, lens, *, scale, s, d, dv, hb,
                                flat_scales=flat_scales)
     dk_c = kc.shape[-1]     # packed (d//2) or full d
     dv_c = vc.shape[-1]
+
+    def _sj(h, j, lens):
+        # S-tile index, clamped to 0 past this block-row's longest valid
+        # sequence: revisiting block 0 costs no HBM fetch (same index =>
+        # the pipeline reuses the resident block) and the in-kernel
+        # pl.when skips the compute — short contexts stop paying for
+        # full-ring cache reads (S=1024 at pos~100 was 8x wasted fetch).
+        m = lens[h * HB]
+        for i in range(1, HB):
+            m = jnp.maximum(m, lens[h * HB + i])
+        return jnp.where(j * BS < m, j, 0)
+
     if flat_scales:
-        s_spec = pl.BlockSpec((HB, BS), lambda h, j, lens: (h, j))
+        s_spec = pl.BlockSpec((HB, BS), lambda h, j, lens: (h, _sj(h, j, lens)))
     else:
-        s_spec = pl.BlockSpec((HB, 8, BS), lambda h, j, lens: (h, 0, j))
+        s_spec = pl.BlockSpec((HB, 8, BS),
+                              lambda h, j, lens: (h, 0, _sj(h, j, lens)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((HB, GPAD, d), lambda h, j, lens: (h, 0, 0)),
-            pl.BlockSpec((HB, BS, dk_c), lambda h, j, lens: (h, j, 0)),
-            pl.BlockSpec((HB, BS, dv_c), lambda h, j, lens: (h, j, 0)),
+            pl.BlockSpec((HB, BS, dk_c),
+                         lambda h, j, lens: (h, _sj(h, j, lens), 0)),
+            pl.BlockSpec((HB, BS, dv_c),
+                         lambda h, j, lens: (h, _sj(h, j, lens), 0)),
             s_spec,
             s_spec,
         ],

@@ -92,14 +92,17 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
 
 
 def _unpack_block(codes, fmt, rows, group):
-    """In-kernel dequant of a packed code block -> [rows, bn] f32 values
-    (no scales). Group-local block-split order (quant/packing.py): the
-    byte block [rows/cpb, bn] reshapes to [ng, sub, bn]; bit-plane j
+    """In-kernel unpack of a packed code block -> [rows, bn] bf16 CODE
+    values (scales NOT applied — the group-factored dot applies them on
+    the [bm, bn] outputs instead, 64-4096x fewer elements than a [K, N]
+    scale multiply). Group-local block-split order (quant/packing.py):
+    the byte block [rows/cpb, bn] reshapes to [ng, sub, bn]; bit-plane j
     holds rows j*sub..(j+1)*sub of each group — unpack is cpb contiguous
     block copies, no sublane interleave. Mosaic can't shift u8 vectors,
-    so codes widen to i32 first."""
+    so codes widen to i32 first. Integer codes are exact in bf16
+    (|code| <= 128 < 2^8)."""
     if fmt is QFormat.INT8:
-        return codes.astype(jnp.float32)
+        return codes.astype(jnp.bfloat16)
     bits = fmt.pack_bits
     cpb = fmt.codes_per_byte
     ng, sub = rows // group, group // cpb
@@ -111,16 +114,16 @@ def _unpack_block(codes, fmt, rows, group):
         # codebook lookup as a select chain — Mosaic kernels can't
         # capture external constants and vector gathers are slow
         book = NF4_LIST if fmt is QFormat.NF4 else NF3_LIST
-        wf = jnp.full(raw.shape, book[0], jnp.float32)
+        wf = jnp.full(raw.shape, book[0], jnp.bfloat16)
         for i in range(1, len(book)):
-            wf = jnp.where(raw == i, book[i], wf)
+            wf = jnp.where(raw == i, jnp.bfloat16(book[i]), wf)
         return wf
     if fmt is QFormat.TERNARY:          # {0,1,2} -> {-1,0,+1}
-        return raw.astype(jnp.float32) - 1.0
+        return (raw - 1).astype(jnp.bfloat16)
     if fmt is QFormat.BINARY:           # {0,1} -> {-1,+1}
-        return raw.astype(jnp.float32) * 2.0 - 1.0
+        return (raw * 2 - 1).astype(jnp.bfloat16)
     # signed INT4/INT3/INT2 stored biased by 2**(bits-1)
-    return raw.astype(jnp.float32) - float(1 << (fmt.bits - 1))
+    return (raw - (1 << (fmt.bits - 1))).astype(jnp.bfloat16)
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "group", "k"))
@@ -156,12 +159,18 @@ def _qmv(x, codes, scales, *, fmt: QFormat, group: int, k: int):
 
 
 def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, fmt, group, k):
+    # group-factored scales: y = sum_g (x_g @ codes_g) * s_g — the dot
+    # runs on raw bf16 codes (exact), the scale hits [bm, bn] outputs
     wf = _unpack_block(w_ref[:], fmt, k, group)
-    s = s_ref[:].astype(jnp.float32)
-    wf = wf.reshape(k // group, group, -1) * s[:, None, :]
-    wf = wf.reshape(k, -1).astype(jnp.bfloat16)
-    o_ref[:] = jnp.dot(x_ref[:], wf,
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    x = x_ref[:].astype(jnp.bfloat16)
+    s = s_ref[:].astype(jnp.float32)                    # [ng, bn]
+    acc = jnp.zeros((x.shape[0], wf.shape[1]), jnp.float32)
+    for g in range(k // group):
+        d = jnp.dot(x[:, g * group:(g + 1) * group],
+                    wf[g * group:(g + 1) * group, :],
+                    preferred_element_type=jnp.float32)
+        acc = acc + d * s[g:g + 1, :]
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "group", "k"))
@@ -204,12 +213,14 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, fmt, group, bk):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     wf = _unpack_block(w_ref[:], fmt, bk, group)
-    # apply per-group scales: [bk/group, bn] -> broadcast over group rows
+    # group-factored scales (see _qmv_kernel)
+    x = x_ref[:].astype(jnp.bfloat16)
     s = s_ref[:].astype(jnp.float32)
-    wf = wf.reshape(bk // group, group, -1) * s[:, None, :]
-    wf = wf.reshape(bk, -1).astype(jnp.bfloat16)
-
-    acc_ref[:] += jnp.dot(x_ref[:], wf, preferred_element_type=jnp.float32)
+    for g in range(bk // group):
+        d = jnp.dot(x[:, g * group:(g + 1) * group],
+                    wf[g * group:(g + 1) * group, :],
+                    preferred_element_type=jnp.float32)
+        acc_ref[:] += d * s[g:g + 1, :]
 
     @pl.when(t == pl.num_programs(2) - 1)
     def _():
