@@ -128,10 +128,11 @@ def bench_decode(args, emit=True):
 
 def bench_train(args, emit=True):
     card = gpt2_124m() if args.model == "gpt2-124m" else qwen3_0_6b()
-    # measured fastest configs (sweep r2): gpt2-124m B=16 no-remat;
-    # qwen3-0.6b B=8 no-remat 23.7K > dots 22.6K > full 19.9K tok/s
-    if args.model != "gpt2-124m" and args.batch == 16:
-        args.batch = 8
+    # measured fastest configs (sweep r2): gpt2-124m B=32 no-remat
+    # 150.3K (B=16 145.8K, B=48 150.7K, B=64 spills); qwen3-0.6b B=8
+    # no-remat 23.7K > dots 22.6K > full 19.9K tok/s
+    if args.batch == 16:   # default: substitute the per-model best
+        args.batch = 32 if args.model == "gpt2-124m" else 8
     remat = False if args.batch <= 8 else "dots"
     if args.model == "gpt2-124m":
         remat = False

@@ -54,9 +54,13 @@ def _ce(logits, targets, mask):
 
 
 def _ce_fwd_impl(logits, targets, mask):
-    lf = logits.astype(jnp.float32)
-    lse = jax.scipy.special.logsumexp(lf, axis=-1)
-    gold = jnp.take_along_axis(lf, targets[..., None], axis=-1)[..., 0]
+    # gold gathers from the ORIGINAL logits (upcast after): if the f32
+    # upcast has two consumers XLA materializes it — a 3.3 GB HBM write
+    # for GPT2's vocab at B=16, measured 7.4 ms/step. With logsumexp as
+    # the sole consumer the upcast fuses into a streaming reduce.
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    gold = jnp.take_along_axis(logits, targets[..., None],
+                               axis=-1)[..., 0].astype(jnp.float32)
     per_tok = lse - gold
     if mask is None:
         return per_tok.mean(), per_tok, lse
