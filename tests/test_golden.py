@@ -73,3 +73,45 @@ def test_gpt2_golden_losses():
     _, losses = _run(card, 12)
     _check(losses[0], 4.865329265594482)
     _check(losses[11], 1.5566023588180542)
+
+
+def test_muon_golden_losses():
+    """Muon (Newton–Schulz) pinned curve — reference PIPE_Muon analog."""
+    card = ModelCard.from_arch(
+        "QWEN3", vocab_size=128, n_layer=2, n_embd=64, n_head=4, n_kv_head=2,
+        head_dim=16, n_ffn=128, n_ctx=32, max_pos=64)
+    tcard = TrainCard(batch=8, lr=0.01, warmup=5, optimizer="muon", seed=42)
+    state = init_train_state(card, tcard)
+    step = make_train_step(card, tcard, total_steps=40)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(12):
+        key, k = jax.random.split(key)
+        s = jax.random.randint(k, (8, 1), 0, 64)
+        batch = {"tokens": ((s + jnp.arange(33)[None]) % 64)[None
+                 ].astype(jnp.int32)}
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    _check(losses[0], 4.867818355560303)
+    _check(losses[11], 3.303659677505493)
+
+
+def test_salmon_golden_losses():
+    """Diffusion-LM (Salmon) masked-reconstruction pinned curve."""
+    card = ModelCard.from_arch(
+        "SALMON", vocab_size=128, n_layer=2, n_embd=64, n_head=4,
+        n_kv_head=2, head_dim=16, n_ffn=128, n_ctx=32, max_pos=64)
+    _, losses = _run(card, 12)
+    _check(losses[0], 4.895137310028076)
+    _check(losses[11], 4.374874114990234)
+
+
+def test_fused_ce_golden_losses():
+    """Large-vocab chunked fused-classifier path (vocab >= 65536 —
+    the Qwen3 production loss path) pinned curve."""
+    card = ModelCard.from_arch(
+        "QWEN3", vocab_size=66560, n_layer=2, n_embd=64, n_head=4,
+        n_kv_head=2, head_dim=16, n_ffn=128, n_ctx=32, max_pos=64)
+    _, losses = _run(card, 8)
+    _check(losses[0], 11.105453491210938)
+    _check(losses[7], 8.008091926574707)
