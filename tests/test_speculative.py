@@ -1,0 +1,55 @@
+"""Speculative decoding: greedy output must EXACTLY match plain greedy
+target generation (the lossless-ness guarantee), for a self-draft and a
+weaker independent draft."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koifish_tpu.config import ModelCard, SamplerCard
+from koifish_tpu.models import init_params
+from koifish_tpu.serve import generate, init_cache
+from koifish_tpu.serve.speculative import speculative_generate
+
+
+def _card(layers=2, seed_dim=64):
+    return ModelCard.from_arch(
+        "QWEN3", vocab_size=97, n_layer=layers, n_embd=seed_dim, n_head=4,
+        n_kv_head=2, head_dim=16, n_ffn=128, n_ctx=64, max_pos=128)
+
+
+def _greedy_reference(card, params, prompt, n):
+    cache = init_cache(card.n_layer, 1, 128, card.n_kv_head, card.head_dim)
+    toks, _ = generate(card, params, prompt, cache,
+                       SamplerCard(temperature=0.0), max_new_tokens=n)
+    return np.asarray(toks)[0]
+
+
+def _spec(card, params, dcard, dparams, prompt, n, k=4):
+    cache = init_cache(card.n_layer, 1, 128, card.n_kv_head, card.head_dim)
+    dcache = init_cache(dcard.n_layer, 1, 128, dcard.n_kv_head,
+                        dcard.head_dim)
+    toks, stats = speculative_generate(card, params, dcard, dparams, prompt,
+                                       cache, dcache, k=k, max_new_tokens=n)
+    return np.asarray(toks)[0], stats
+
+
+def test_self_draft_exact_and_full_accept():
+    card = _card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    prompt = jnp.asarray([[5, 11, 23, 42]], jnp.int32)
+    ref = _greedy_reference(card, params, prompt, 12)
+    out, stats = _spec(card, params, card, params, prompt, 12)
+    np.testing.assert_array_equal(out[:len(ref)], ref)
+    assert stats["accept_rate"] > 0.9        # draft == target: all accepted
+
+
+def test_weak_draft_still_exact():
+    card = _card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    dcard = _card(layers=1)
+    dparams = init_params(dcard, jax.random.PRNGKey(7))   # unrelated draft
+    prompt = jnp.asarray([[5, 11, 23, 42]], jnp.int32)
+    ref = _greedy_reference(card, params, prompt, 12)
+    out, stats = _spec(card, params, dcard, dparams, prompt, 12, k=3)
+    np.testing.assert_array_equal(out[:len(ref)], ref)
+    assert stats["rounds"] >= 1
