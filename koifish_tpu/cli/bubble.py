@@ -39,6 +39,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="multi-turn REPL on stdin (cache persists across turns)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel ways (weights + KV heads sharded)")
+    ap.add_argument("--draft-hf", default=None,
+                    help="draft model dir -> greedy speculative decoding "
+                         "(lossless; forces temperature 0)")
+    ap.add_argument("--draft-k", type=int, default=4,
+                    help="draft tokens per verify round")
     return ap
 
 
@@ -92,6 +97,12 @@ def main(argv=None) -> int:
     print(f"[bubble] {card.arch} {card.n_layer}L loaded in {time.time()-t0:.1f}s "
           f"on {jax.default_backend()}")
 
+    draft_card = draft_params = None
+    if args.draft_hf:
+        draft_card, draft_params = load_hf_model(args.draft_hf)
+        print(f"[bubble] draft {draft_card.arch} {draft_card.n_layer}L "
+              f"(k={args.draft_k}, greedy/lossless)")
+
     if args.bits:
         qc = QuantCard.from_json({
             "self_attn": {"bits": args.bits}, "mlp": {"bits": args.bits}})
@@ -131,10 +142,20 @@ def main(argv=None) -> int:
                 from koifish_tpu.parallel.sharding import shard_cache
                 cache = shard_cache(cache, mesh)
         t0 = time.time()
-        toks, cache = generate(card, params, jnp.asarray([ids], jnp.int32),
-                               cache, sampler, max_new_tokens=args.max_new,
-                               eos_id=eos, decode_params=dparams,
-                               decode_chunk=args.decode_chunk)
+        if args.draft_hf:
+            from koifish_tpu.serve.speculative import speculative_generate
+            dc = cache_for(draft_card, 1, size, fmt=QFormat.BF16)
+            toks, stats = speculative_generate(
+                card, params, draft_card, draft_params,
+                jnp.asarray([ids], jnp.int32), cache, dc, k=args.draft_k,
+                max_new_tokens=args.max_new, eos_id=eos)
+            print(f"[bubble] speculative: {stats['rounds']} rounds, "
+                  f"accept_rate={stats['accept_rate']:.2f}")
+        else:
+            toks, cache = generate(card, params, jnp.asarray([ids], jnp.int32),
+                                   cache, sampler, max_new_tokens=args.max_new,
+                                   eos_id=eos, decode_params=dparams,
+                                   decode_chunk=args.decode_chunk)
         dt = time.time() - t0
         out_ids = [t for t in toks[0].tolist() if t != eos]
         answer = tokenizer.decode(out_ids)

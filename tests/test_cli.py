@@ -418,3 +418,22 @@ def test_bubble_tp_cli(tmp_path, tiny_hf):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "tensor-parallel over 2" in r.stdout
     assert "tk/s" in r.stdout
+
+
+def test_bubble_speculative_cli(tmp_path, tiny_hf):
+    """bubble --draft-hf: self-draft speculative chat must match the plain
+    greedy chat answer exactly (lossless guarantee, serve/speculative)."""
+    hf_dir, card = tiny_hf
+    base = run_cli("bubble", "--hf", hf_dir, "--prompts", "hello",
+                   "--max-new", "8", "--temperature", "0", "--ctx", "128",
+                   "--device", "cpu", "--csv", str(tmp_path / "a.csv"))
+    assert base.returncode == 0, base.stderr[-2000:]
+    spec = run_cli("bubble", "--hf", hf_dir, "--draft-hf", hf_dir,
+                   "--draft-k", "3", "--prompts", "hello",
+                   "--max-new", "8", "--temperature", "0", "--ctx", "128",
+                   "--device", "cpu", "--csv", str(tmp_path / "b.csv"))
+    assert spec.returncode == 0, spec.stderr[-2000:]
+    assert "accept_rate" in spec.stdout
+    a = list(csv.DictReader(open(tmp_path / "a.csv")))[0]["answer"]
+    b = list(csv.DictReader(open(tmp_path / "b.csv")))[0]["answer"]
+    assert a == b, (a, b)
