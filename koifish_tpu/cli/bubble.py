@@ -40,8 +40,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel ways (weights + KV heads sharded)")
     ap.add_argument("--draft-hf", default=None,
-                    help="draft model dir -> greedy speculative decoding "
-                         "(lossless; forces temperature 0)")
+                    help="draft model dir -> speculative decoding (exact "
+                         "target distribution via rejection sampling)")
     ap.add_argument("--draft-k", type=int, default=4,
                     help="draft tokens per verify round")
     return ap
@@ -148,7 +148,7 @@ def main(argv=None) -> int:
             toks, stats = speculative_generate(
                 card, params, draft_card, draft_params,
                 jnp.asarray([ids], jnp.int32), cache, dc, k=args.draft_k,
-                max_new_tokens=args.max_new, eos_id=eos)
+                max_new_tokens=args.max_new, eos_id=eos, sampler=sampler)
             print(f"[bubble] speculative: {stats['rounds']} rounds, "
                   f"accept_rate={stats['accept_rate']:.2f}")
         else:

@@ -57,3 +57,41 @@ def sample_logits(
 
     choice = jax.random.categorical(rng, vals, axis=-1)   # [B]
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+def filtered_probs(
+    logits: jax.Array,        # [B, V]
+    temperature: float = 0.6,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    min_p: float = 0.0,
+    approx: bool = True,
+) -> jax.Array:
+    """The DENSE [B, V] probability distribution ``sample_logits`` draws
+    from (temperature + top-k/top-p/min-p filtering, renormalized).
+    Speculative rejection sampling needs q(v)/p(v) for every v — the
+    acceptance test and the residual max(0, p - q) (serve/speculative)."""
+    B, V = logits.shape
+    if temperature <= 0.0:
+        return jax.nn.one_hot(jnp.argmax(logits, axis=-1), V,
+                              dtype=jnp.float32)
+    if top_k and 0 < top_k < V:
+        if approx:
+            vals, idx = jax.lax.approx_max_k(logits, top_k)
+        else:
+            vals, idx = jax.lax.top_k(logits, top_k)
+        vals = vals.astype(jnp.float32) / temperature
+    else:
+        vals = logits.astype(jnp.float32) / temperature
+        idx = jnp.broadcast_to(jnp.arange(V)[None], logits.shape)
+    probs = jax.nn.softmax(vals, axis=-1)
+    if top_p < 1.0:
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < top_p
+        vals = jnp.where(keep, vals, -jnp.inf)
+    if min_p > 0.0:
+        pmax = probs.max(axis=-1, keepdims=True)
+        vals = jnp.where(probs >= min_p * pmax, vals, -jnp.inf)
+    probs = jax.nn.softmax(vals, axis=-1)
+    dense = jnp.zeros((B, V), jnp.float32)
+    return dense.at[jnp.arange(B)[:, None], idx].add(probs)

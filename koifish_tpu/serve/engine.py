@@ -217,6 +217,30 @@ def _jit_decode_sample_layered_k(card, params, token, lc, rng, sampler, k):
     return toks, lc, rng
 
 
+@functools.partial(jax.jit, static_argnames=("card", "sampler", "k"),
+                   donate_argnames=("lc",))
+def _jit_decode_probs_k(card, params, token, lc, rng, sampler, k):
+    """K layered decode steps returning BOTH the sampled tokens and the
+    dense filtered distribution each was drawn from — what speculative
+    rejection sampling needs (serve/speculative)."""
+    from koifish_tpu.ops.sampling import filtered_probs
+    from koifish_tpu.serve.layered import decode_step_layered
+
+    def body(carry, _):
+        tok, lc, rng = carry
+        logits, lc = decode_step_layered(card, params, tok, lc)
+        q = filtered_probs(logits, sampler.temperature, sampler.top_k,
+                           sampler.top_p, sampler.min_p)
+        rng, sub = jax.random.split(rng)
+        tok = jax.random.categorical(
+            sub, jnp.log(jnp.maximum(q, 1e-30)), axis=-1).astype(jnp.int32)
+        return (tok, lc, rng), (tok, q)
+
+    (token, lc, rng), (toks, qs) = jax.lax.scan(
+        body, (token, lc, rng), None, length=k)
+    return toks, qs, lc, rng          # toks [k, B], qs [k, B, V]
+
+
 def _split_cache_impl(cache, uniform):
     from koifish_tpu.serve.layered import split_cache
     return split_cache(cache, uniform)

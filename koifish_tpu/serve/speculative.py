@@ -2,18 +2,20 @@
 
 Serving capability beyond the reference (its chat loop is strictly
 autoregressive, GoPT.cpp:1111): a small draft model proposes ``k``
-greedy tokens; the target verifies all of them in ONE prefill-shaped
-forward and accepts the longest agreeing prefix plus the target's own
-next token — per verify round the target does one (k+1)-token forward
-instead of up-to-(k+1) single-token decodes. With greedy decoding the
-output is IDENTICAL to plain target-greedy generation (tested), so the
-speedup is free of quality change.
+tokens; the target verifies all of them in ONE prefill-shaped forward.
+Acceptance is the Leviathan et al. rejection test — accept ``d_i`` with
+probability ``min(1, p_i(d_i)/q_i(d_i))``; on rejection resample from
+``norm(max(0, p_i - q_i))``; on full acceptance sample the bonus token
+from ``p_k`` — so emitted tokens are distributed EXACTLY as the target
+alone would produce (greedy is the special case where p and q are
+one-hot; the self-draft test pins byte-identical output).
 
-TPU-shape discipline: every round runs fixed-shape executables —
-draft decode-k scan (1 pending token), a 2-token draft catch-up prefill
-(only after fully-accepted rounds), and the target's (k+1)-token verify
-prefill. Cache rollback is free: the ring cache masks validity by
-``pos``, so rejected slots are simply rewritten by later tokens.
+TPU-shape discipline: every round runs fixed-shape executables — a
+draft decode-k scan (1 pending token) that also returns the dense
+sampling distribution per step, a 1-step draft catch-up (only after
+fully-accepted rounds), and the target's (k+1)-token verify prefill.
+Cache rollback is free: the ring cache masks validity by ``pos``, so
+rejected slots are simply rewritten by later tokens.
 """
 from __future__ import annotations
 
@@ -22,11 +24,18 @@ from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from koifish_tpu.config import ModelCard, SamplerCard
-from koifish_tpu.serve.engine import (_jit_decode_sample_layered_k,
+from koifish_tpu.ops.sampling import filtered_probs
+from koifish_tpu.serve.engine import (_jit_decode_probs_k,
+                                      _jit_decode_sample_layered,
                                       _jit_prefill, _jit_split_cache)
 from koifish_tpu.serve.kvcache import KVCache
+
+_jit_filtered_probs = jax.jit(
+    filtered_probs,
+    static_argnames=("temperature", "top_k", "top_p", "min_p", "approx"))
 
 
 def _rollback(cache, pos: int):
@@ -43,24 +52,33 @@ def speculative_generate(
     k: int = 4,
     max_new_tokens: int = 64,
     eos_id: int = -1,
+    sampler: Optional[SamplerCard] = None,
+    seed: int = 0,
 ) -> Tuple[jax.Array, dict]:
-    """Greedy speculative decoding (B=1). Returns (tokens [1, <=max_new],
-    stats). Output matches plain greedy generation of the target."""
+    """Speculative decoding (B=1). Returns (tokens [1, <=max_new], stats).
+    Emitted tokens follow the target's sampling distribution exactly;
+    with temperature 0 the output is byte-identical to target greedy."""
     assert prompt.shape[0] == 1, "speculative decoding is single-stream"
-    sampler = SamplerCard(temperature=0.0)
-    rng = jax.random.PRNGKey(0)
+    sampler = sampler or SamplerCard(temperature=0.0)
+    rng = jax.random.PRNGKey(seed)
+    host_rng = np.random.default_rng(seed)
 
-    # prefill both models on the prompt; t0 = first target token
+    def _p_dist(logits2d):                  # [N, V] -> filtered probs
+        return np.asarray(_jit_filtered_probs(
+            logits2d, temperature=sampler.temperature, top_k=sampler.top_k,
+            top_p=sampler.top_p, min_p=sampler.min_p))
+
+    # prefill both models on the prompt; t0 ~ target distribution
     logits, cache = _jit_prefill(card, params, prompt, cache, fresh=True)
-    t0 = int(jnp.argmax(logits[0]))
+    p0 = _p_dist(logits)[0]
+    t0 = int(host_rng.choice(len(p0), p=p0 / p0.sum()))
     _, draft_cache = _jit_prefill(draft_card, draft_params, prompt,
                                   draft_cache, fresh=True)
     dlc = _jit_split_cache(draft_cache, uniform=True)
 
     seq: List[int] = [t0]
     prompt_len = prompt.shape[1]
-    # consumed counts (tokens fed through each model, prompt included)
-    c_tgt = prompt_len
+    c_tgt = prompt_len                     # tokens fed through each model
     c_drf = prompt_len
     rounds = accepted_total = 0
 
@@ -69,30 +87,45 @@ def speculative_generate(
         # --- draft: catch up on unconsumed tokens, then propose k ------
         pend_d = seq[c_drf - prompt_len:]          # emitted, not yet fed
         if len(pend_d) == 2:                       # after an all-accept round
-            from koifish_tpu.serve.engine import _jit_decode_sample_layered
             tok = jnp.asarray(pend_d[0:1], jnp.int32)
             _, dlc, rng = _jit_decode_sample_layered(
                 draft_card, draft_params, tok, dlc, rng, sampler)
             c_drf += 1
             pend_d = pend_d[1:]
         tok = jnp.asarray(pend_d[-1:], jnp.int32)
-        toks, dlc, rng = _jit_decode_sample_layered_k(
+        toks, qs, dlc, rng = _jit_decode_probs_k(
             draft_card, draft_params, tok, dlc, rng, sampler, k)
         drafts = [int(t[0]) for t in toks]          # d1..dk
+        q = np.asarray(qs)[:, 0]                    # [k, V]
         c_drf += k                                  # consumed pend + d1..dk-1
 
         # --- target: verify [t_last, d1..dk] in one forward ------------
         feed = jnp.asarray([[seq[-1]] + drafts], jnp.int32)   # [1, k+1]
         all_logits, cache = _jit_prefill(card, params, feed, cache,
                                          return_all_logits=True)
-        greedy = jnp.argmax(all_logits[0], axis=-1)           # [k+1]
-        g = [int(x) for x in greedy]
+        p = _p_dist(all_logits[0])                  # [k+1, V]
         c_tgt += k + 1
 
+        # --- rejection sampling (greedy = one-hot special case) --------
         a = 0
-        while a < k and drafts[a] == g[a] and drafts[a] != eos_id:
-            a += 1
-        emitted = drafts[:a] + [g[a]]
+        emitted: List[int] = []
+        while a < k:
+            d = drafts[a]
+            ratio = p[a, d] / max(q[a, d], 1e-30)
+            if host_rng.random() < min(1.0, ratio) and p[a, d] > 0:
+                emitted.append(d)
+                if d == eos_id:
+                    break
+                a += 1
+            else:
+                resid = np.maximum(p[a] - q[a], 0.0)
+                z = resid.sum()
+                dist = resid / z if z > 1e-12 else p[a] / p[a].sum()
+                emitted.append(int(host_rng.choice(len(dist), p=dist)))
+                break
+        else:
+            bonus = p[k] / p[k].sum()
+            emitted.append(int(host_rng.choice(len(bonus), p=bonus)))
         for t in emitted:
             seq.append(t)
             if t == eos_id or len(seq) >= max_new_tokens:

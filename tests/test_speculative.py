@@ -53,3 +53,54 @@ def test_weak_draft_still_exact():
     out, stats = _spec(card, params, dcard, dparams, prompt, 12, k=3)
     np.testing.assert_array_equal(out[:len(ref)], ref)
     assert stats["rounds"] >= 1
+
+
+def test_sampled_speculative_matches_target_distribution():
+    """temperature > 0: the FIRST emitted token's empirical distribution
+    under speculative rejection sampling must match direct target
+    sampling (the losslessness property of the rejection scheme)."""
+    card = _card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    dcard = _card(layers=1)
+    dparams = init_params(dcard, jax.random.PRNGKey(7))
+    prompt = jnp.asarray([[5, 11, 23]], jnp.int32)
+    sampler = SamplerCard(temperature=1.0, top_k=8, top_p=1.0)
+
+    # direct target distribution of the first token
+    from koifish_tpu.ops.sampling import filtered_probs
+    from koifish_tpu.serve.engine import _jit_prefill
+    cache = init_cache(card.n_layer, 1, 128, card.n_kv_head, card.head_dim)
+    logits, _ = _jit_prefill(card, params, prompt, cache, fresh=True)
+    p_direct = np.asarray(filtered_probs(logits, 1.0, 8, 1.0))[0]
+
+    n = 400
+    counts = np.zeros(card.vocab_size)
+    for s in range(n):
+        cache = init_cache(card.n_layer, 1, 128, card.n_kv_head,
+                           card.head_dim)
+        dcache = init_cache(dcard.n_layer, 1, 128, dcard.n_kv_head,
+                            dcard.head_dim)
+        toks, _ = speculative_generate(card, params, dcard, dparams, prompt,
+                                       cache, dcache, k=2, max_new_tokens=1,
+                                       sampler=sampler, seed=s)
+        counts[int(np.asarray(toks)[0][0])] += 1
+    emp = counts / n
+    # total-variation distance small (n=400 → noise floor ~0.05)
+    tv = 0.5 * np.abs(emp - p_direct).sum()
+    assert tv < 0.12, tv
+
+
+def test_sampled_speculative_runs_multiround():
+    card = _card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    dcard = _card(layers=1)
+    dparams = init_params(dcard, jax.random.PRNGKey(7))
+    prompt = jnp.asarray([[5, 11, 23, 42]], jnp.int32)
+    cache = init_cache(card.n_layer, 1, 128, card.n_kv_head, card.head_dim)
+    dcache = init_cache(dcard.n_layer, 1, 128, dcard.n_kv_head,
+                        dcard.head_dim)
+    toks, stats = speculative_generate(
+        card, params, dcard, dparams, prompt, cache, dcache, k=3,
+        max_new_tokens=16, sampler=SamplerCard(temperature=0.8), seed=3)
+    assert np.asarray(toks).shape[1] >= 16 - 3
+    assert stats["rounds"] >= 2
