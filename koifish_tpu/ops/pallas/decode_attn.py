@@ -175,9 +175,12 @@ def _decode_kernel_call(qp, kc, vc, ks, vs, lens, *, scale, s, d, dv, hb,
 
 
 def _unpack4(b):
-    """[S, D//2] uint8 → [S, D] bf16 codes (block-split nibbles)."""
-    lo = (b & 0xF).astype(jnp.int8) - 8
-    hi = (b >> 4).astype(jnp.int8) - 8
+    """[S, D//2] uint8 → [S, D] bf16 codes (block-split nibbles).
+    Widen to i32 before shift/sub — Mosaic has no sub-word vector ALU ops
+    (the int8 form compiled in the interpreter but failed on chip)."""
+    c = b.astype(jnp.int32)
+    lo = (c & 0xF) - 8
+    hi = ((c >> 4) & 0xF) - 8
     return jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
 
 

@@ -46,11 +46,11 @@ def matmul_params(card) -> int:
     q = card.n_head * card.head_dim
     kv = card.n_kv_head * card.head_dim
     attn = E * q + 2 * E * kv + q * E
-    if getattr(card, "moe_experts", 0):
+    if getattr(card, "n_experts", 0):
         # only the routed top-k experts touch each token
         ffn_e = 3 * E * (card.moe_ffn or card.n_ffn)
-        ffn = ffn_e * max(getattr(card, "moe_topk", 1), 1)
-        ffn += E * card.moe_experts  # router
+        ffn = ffn_e * max(getattr(card, "n_experts_active", 1), 1)
+        ffn += E * card.n_experts  # router
     else:
         n_mats = 3 if card.act in ("silu", "swiglu") else 2
         ffn = n_mats * E * card.n_ffn

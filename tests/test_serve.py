@@ -178,3 +178,30 @@ def test_generate_chunked_matches_per_token():
     t2, _ = generate(card, params, prompt, c2, s, max_new_tokens=9,
                      decode_chunk=4)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_moe_decode_matches_forward():
+    """MoE layers (router in lp) flow through every decode path."""
+    card = ModelCard.from_arch(
+        "QWEN3_MOE", vocab_size=256, n_layer=2, n_embd=64, n_head=4,
+        n_kv_head=2, head_dim=16, n_ffn=128, n_ctx=32, max_pos=64,
+        n_experts=4, n_experts_active=2, moe_ffn=64)
+    params = init_params(card, jax.random.PRNGKey(0))
+    toks = jnp.asarray([[7, 3, 11, 19, 2]], jnp.int32)
+    ref = model_forward(card, params, toks)
+
+    cache = init_cache(card.n_layer, 1, 32, card.n_kv_head, card.head_dim)
+    logits, cache = prefill(card, params, toks[:, :4], cache)
+    logits2, cache = decode_step(card, params, toks[:, 4], cache)
+    np.testing.assert_allclose(np.asarray(logits2, np.float32),
+                               np.asarray(ref[:, -1], np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+    from koifish_tpu.serve.layered import decode_step_layered, split_cache
+    cache2 = init_cache(card.n_layer, 1, 32, card.n_kv_head, card.head_dim)
+    _, cache2 = prefill(card, params, toks[:, :4], cache2)
+    lc = split_cache(cache2, uniform=True)
+    logits3, _ = decode_step_layered(card, params, toks[:, 4], lc)
+    np.testing.assert_allclose(np.asarray(logits3, np.float32),
+                               np.asarray(ref[:, -1], np.float32),
+                               rtol=2e-2, atol=2e-2)
