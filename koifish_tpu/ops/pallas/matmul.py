@@ -112,12 +112,14 @@ def _unpack_block(codes, fmt, rows, group):
     raw = jnp.stack(parts, axis=1).reshape(rows, -1)
     if fmt in (QFormat.NF4, QFormat.NF3):
         # codebook lookup as a select chain — Mosaic kernels can't
-        # capture external constants and vector gathers are slow
+        # capture external constants and vector gathers are slow. The
+        # selects run in f32: a bf16 select on an i1 mask trips a Mosaic
+        # relayout bug ("(8,128) -> (16,128) replicated dim") on chip.
         book = NF4_LIST if fmt is QFormat.NF4 else NF3_LIST
-        wf = jnp.full(raw.shape, book[0], jnp.bfloat16)
+        wf = jnp.full(raw.shape, book[0], jnp.float32)
         for i in range(1, len(book)):
-            wf = jnp.where(raw == i, jnp.bfloat16(book[i]), wf)
-        return wf
+            wf = jnp.where(raw == i, book[i], wf)
+        return wf.astype(jnp.bfloat16)
     if fmt is QFormat.TERNARY:          # {0,1,2} -> {-1,0,+1}
         return (raw - 1).astype(jnp.bfloat16)
     if fmt is QFormat.BINARY:           # {0,1} -> {-1,+1}

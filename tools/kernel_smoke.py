@@ -1,0 +1,178 @@
+"""On-chip kernel smoke harness — run every Pallas entry point once.
+
+Interpret-mode tests validate kernel LOGIC but not Mosaic lowering: the
+INT4-KV decode kernel passed the interpreter for a full round while its
+int8 vector sub failed the real chip (fixed 07712a4). This harness
+compiles + executes each kernel with production-shaped smalls on
+whatever TPU backend is attached and checks outputs against the XLA
+oracles. Run after touching any kernel:
+
+    python -u tools/kernel_smoke.py [--quick]
+
+--quick: one GEMV row-count per format (m=8) instead of three; ~20
+compiles instead of ~48 (each is a ~20-40 s remote compile on tunneled
+runtimes — budget 30+ min for the full run, and NEVER let an external
+timeout kill it mid-RPC: run it under its own generous `timeout`).
+"""
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.abs(a - b).max() / (np.abs(b).max() + 1e-9))
+
+
+def main() -> int:
+    failures = []
+
+    def check(name, err, tol=0.03):
+        ok = err < tol
+        print(f"{'ok ' if ok else 'FAIL'} {name}: err={err:.4f}", flush=True)
+        if not ok:
+            failures.append(name)
+
+    def guarded(name, fn, tol=0.03):
+        try:
+            check(name, fn(), tol)
+        except Exception as e:                   # compile failures count
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            failures.append(name)
+
+    backend = jax.default_backend()
+    print(f"backend: {backend} ({jax.devices()[0].device_kind})")
+
+    # --- quantized GEMM / GEMV, every format -----------------------------
+    from koifish_tpu.dtypes import QFormat
+    from koifish_tpu.quant.rtn import quantize
+    import koifish_tpu.ops.pallas.matmul as pmm
+    w = jax.random.normal(jax.random.PRNGKey(1), (1024, 512),
+                          jnp.float32) * 0.02
+    quick = "--quick" in sys.argv
+    ms = (8,) if quick else (8, 32, 256)
+    for fmt in (QFormat.INT8, QFormat.INT4, QFormat.NF4, QFormat.INT3,
+                QFormat.NF3, QFormat.INT2, QFormat.TERNARY, QFormat.BINARY):
+        qt = quantize(w, fmt, group=128)
+        for m in ms:
+            def _run(m=m, qt=qt):
+                x = jax.random.normal(jax.random.PRNGKey(m), (m, 1024),
+                                      jnp.bfloat16)
+                ref = pmm._ref_qmatmul(x, qt, jnp.float32)
+                out = pmm.qmatmul_pallas_or_ref(x, qt, jnp.float32)
+                return _rel(out, ref)
+            guarded(f"qmatmul {fmt.name} m={m}", _run)
+
+    # --- flash attention fwd/bwd (incl. sliding window) -------------------
+    from koifish_tpu.ops.attention import causal_attention
+    import koifish_tpu.ops.pallas.flash as pfl
+    B, T, Hq, Hkv, D = 2, 1024, 4, 2, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, Hq, D),
+                          jnp.bfloat16) * 0.5
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, Hkv, D),
+                          jnp.bfloat16) * 0.5
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, Hkv, D),
+                          jnp.bfloat16) * 0.5
+    sc = 1.0 / D ** 0.5
+    for window in (0, 256):
+        def _fwd(window=window):
+            out = pfl.flash_attention_or_none(q, k, v, scale=sc,
+                                              window=window)
+            assert out is not None, "kernel ineligible"
+            return _rel(out, causal_attention(q, k, v, scale=sc,
+                                              window=window, backend="ref"))
+        guarded(f"flash fwd window={window}", _fwd)
+
+        def _bwd(window=window):
+            gf = jax.grad(lambda q: (pfl.flash_attention_or_none(
+                q, k, v, scale=sc, window=window).astype(jnp.float32) ** 2
+            ).sum())(q)
+            gr = jax.grad(lambda q: (causal_attention(
+                q, k, v, scale=sc, window=window, backend="ref"
+            ).astype(jnp.float32) ** 2).sum())(q)
+            return _rel(gf, gr)
+        guarded(f"flash bwd dq window={window}", _bwd, tol=0.06)
+
+    # --- fused quantized-KV decode attention ------------------------------
+    from koifish_tpu.ops.pallas.decode_attn import (
+        decode_attention_quant_or_none)
+    from koifish_tpu.serve import kvcache as kvc
+    B, H, S, Dd = 8, 8, 1024, 128
+    qd = jax.random.normal(jax.random.PRNGKey(3), (B, 2 * H, Dd),
+                           jnp.bfloat16)
+    kraw = jax.random.normal(jax.random.PRNGKey(4), (B, H, S, Dd),
+                             jnp.float32)
+    vraw = jax.random.normal(jax.random.PRNGKey(5), (B, H, S, Dd),
+                             jnp.float32)
+    lengths = jnp.full((B,), 700, jnp.int32)
+    valid = jnp.arange(S)[None, :] < lengths[:, None]
+
+    def oracle(kf, vf):
+        from koifish_tpu.ops.attention import decode_attention
+        return decode_attention(qd, jnp.moveaxis(kf, 1, 2),
+                                jnp.moveaxis(vf, 1, 2), valid)
+
+    for fmt in (QFormat.INT8, QFormat.INT4):
+        def _dec(fmt=fmt):
+            kq, ks = kvc._quant_kv(kraw, fmt)
+            vq, vs = kvc._quant_kv(vraw, fmt)
+            kd = kvc._unpack_int4(kq) if fmt is QFormat.INT4 else kq
+            vd = kvc._unpack_int4(vq) if fmt is QFormat.INT4 else vq
+            kf = (kd.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
+            vf = (vd.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+            out = decode_attention_quant_or_none(qd, kq, vq, ks, vs, lengths,
+                                                 1.0 / Dd ** 0.5)
+            assert out is not None, "kernel ineligible"
+            return _rel(out, oracle(kf, vf))
+        guarded(f"decode_attn {fmt.name}", _dec, tol=0.05)
+
+    # --- MLA-shaped fused decode (K dim != V dim) --------------------------
+    def _mla():
+        vraw2 = jax.random.normal(jax.random.PRNGKey(6), (B, H, S, 64),
+                                  jnp.float32)
+        kq, ks = kvc._quant_kv(kraw, QFormat.INT8)
+        vq, vs = kvc._quant_kv(vraw2, QFormat.INT8)
+        out = decode_attention_quant_or_none(qd, kq, vq, ks, vs, lengths,
+                                             1.0 / Dd ** 0.5)
+        assert out is not None, "kernel ineligible"
+        vf = (vq.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+        kf = (kq.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
+        return _rel(out, oracle(kf, vf))
+    guarded("decode_attn MLA dv=64", _mla, tol=0.05)
+
+    # --- QJL decode attention ---------------------------------------------
+    from koifish_tpu.ops.qjl import (qjl_decode_attention, qjl_encode_keys,
+                                     qjl_projection)
+    def _qjl():
+        proj = qjl_projection(Dd, 2 * Dd)
+        kq_b, knorm = qjl_encode_keys(kraw.astype(jnp.bfloat16), proj)
+        vf = vraw.astype(jnp.bfloat16)
+        out = qjl_decode_attention(qd, kq_b, knorm, vf, valid, proj,
+                                   1.0 / Dd ** 0.5)
+        return _rel(out, oracle(kraw.astype(jnp.bfloat16), vf))
+    guarded("qjl decode attention", _qjl, tol=0.25)  # sketch approx
+
+    # --- int8 training quantize kernels ------------------------------------
+    from koifish_tpu.ops.pallas.quantize import colquant, rowquant
+    x = jax.random.normal(jax.random.PRNGKey(8), (512, 1024), jnp.bfloat16)
+    guarded("rowquant", lambda: (lambda q8, sx: _rel(
+        q8.astype(jnp.float32) * sx, x.astype(jnp.float32)))(*rowquant(x)),
+        tol=0.02)
+    guarded("colquant", lambda: (lambda q8, sc_: _rel(
+        q8.astype(jnp.float32) * sc_, x.astype(jnp.float32)))(*colquant(x)),
+        tol=0.02)
+
+    print(f"\n{'ALL KERNELS OK' if not failures else 'FAILURES: ' + str(failures)}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
