@@ -104,3 +104,19 @@ def test_sampled_speculative_runs_multiround():
         max_new_tokens=16, sampler=SamplerCard(temperature=0.8), seed=3)
     assert np.asarray(toks).shape[1] >= 16 - 3
     assert stats["rounds"] >= 2
+
+
+def test_filtered_probs_matches_sampler():
+    """filtered_probs must be the exact distribution sample_logits draws
+    from (speculative rejection sampling depends on this identity)."""
+    from koifish_tpu.ops.sampling import filtered_probs, sample_logits
+    logits = jax.random.normal(jax.random.PRNGKey(0), (1, 64)) * 3
+    q = np.asarray(filtered_probs(logits, 0.8, 10, 0.9, approx=False))[0]
+    assert abs(q.sum() - 1.0) < 1e-5
+    assert (q > 0).sum() <= 10
+    n = 4000
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    toks = jax.vmap(lambda k: sample_logits(k, logits, 0.8, 10, 0.9,
+                                            approx=False))(keys)
+    emp = np.bincount(np.asarray(toks)[:, 0], minlength=64) / n
+    assert 0.5 * np.abs(emp - q).sum() < 0.04    # total variation
