@@ -11,7 +11,7 @@ preset name instead of OOM roulette.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 from koifish_tpu.utils.mfu import matmul_params
 

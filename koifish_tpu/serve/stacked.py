@@ -24,7 +24,6 @@ from koifish_tpu.dtypes import QFormat
 from koifish_tpu.models.transformer import (
     Params, _norm, gather_embed, lm_head, mlp, qkv_project)
 from koifish_tpu.ops.attention import decode_attention
-from koifish_tpu.ops.matmul import linear
 from koifish_tpu.serve import kvcache as kvc
 from koifish_tpu.serve.engine import _rope_tables
 from koifish_tpu.serve.kvcache import KVCache
