@@ -100,15 +100,24 @@ def fused_ce_loss(
     targets: jax.Array,          # [B, T] int32
     mask: Optional[jax.Array] = None,
     chunk: int = 8192,
+    use_int8: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """CE directly from hidden states + head weight, scanning VOCAB CHUNKS
     with a running logsumexp — the [B,T,V] logits tensor is never
     materialized (5 GB for Qwen3's 152k vocab at B=16). This is the true
     fused-classifier analog (reference fused_classifier.cuh:68) and what
     lets large-vocab models train at batch on one chip.
+
+    ``use_int8``: run the chunk dots as dynamic int8 GEMMs (the FP8 head
+    GEMM analog — ops/int8_train.int8_matmul custom VJP: int8 fwd, bf16
+    grads vs the dequantized codes). Default: on when TrainCard's
+    int8_matmul switch is set and the whole head passes its size gate.
     """
     B, T, E = hidden.shape
     V = head_w.shape[-1]
+    if use_int8 is None:
+        from koifish_tpu.ops.int8_train import int8_applies
+        use_int8 = int8_applies((E, V))
     n_chunks = -(-V // chunk)
     pad_v = n_chunks * chunk - V
     w = head_w.astype(jnp.bfloat16)
@@ -122,7 +131,11 @@ def fused_ce_loss(
     def body(carry, inp):
         m_run, s_run, gold = carry
         w_c, ci = inp
-        logits = jnp.dot(x2, w_c, preferred_element_type=jnp.float32)
+        if use_int8:
+            from koifish_tpu.ops.int8_train import int8_matmul
+            logits = int8_matmul(x2, w_c).astype(jnp.float32)
+        else:
+            logits = jnp.dot(x2, w_c, preferred_element_type=jnp.float32)
         # mask padded vocab tail
         vpos = ci * chunk + jnp.arange(chunk)
         logits = jnp.where(vpos[None, :] < V, logits, -1e30)

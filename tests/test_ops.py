@@ -111,3 +111,34 @@ def test_int8_train_step_converges():
         assert losses[-1] < losses[0] * 0.6, losses
     finally:
         set_train_int8(False)
+
+
+def test_int8_fused_ce_loss_parity():
+    """int8 chunk dots in the fused classifier (the FP8 head-GEMM analog)
+    must track the bf16 loss curve closely — the head is the one weight
+    big enough for dynamic int8 to pay (ops/int8_train sizing note)."""
+    from koifish_tpu.config import ModelCard, TrainCard
+    from koifish_tpu.train.trainer import init_train_state, make_train_step
+
+    card = ModelCard.from_arch(
+        "QWEN3", vocab_size=66560, n_layer=1, n_embd=64, n_head=4,
+        n_kv_head=2, head_dim=16, n_ffn=128, n_ctx=16, max_pos=32)
+
+    def run(int8):
+        tcard = TrainCard(batch=4, lr=0.01, warmup=3, seed=42,
+                          int8_matmul=int8, int8_min_kn=0)
+        state = init_train_state(card, tcard)
+        step = make_train_step(card, tcard, total_steps=10)
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for _ in range(6):
+            key, k = jax.random.split(key)
+            s = jax.random.randint(k, (4, 1), 0, 64)
+            batch = {"tokens": ((s + jnp.arange(17)[None]) % 64)[None
+                     ].astype(jnp.int32)}
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        return losses
+
+    bf, q8 = run(False), run(True)
+    assert max(abs(a - b) / a for a, b in zip(bf, q8)) < 0.02
