@@ -63,11 +63,17 @@ def _is_float(p) -> bool:
     return jnp.issubdtype(p.dtype, jnp.floating)
 
 
-def _muon_leaf(p, optimizer: str) -> bool:
-    """Leaves Muon orthogonalizes (2D weight matrices); others fall back to
-    AdamW. Must match the dispatch in apply_updates."""
-    return (optimizer == "muon" and getattr(p, "ndim", 0) == 2
-            and p.shape[0] >= 64 and p.shape[1] >= 64)
+def _muon_leaf(p, optimizer: str, path: str = "") -> bool:
+    """Leaves Muon orthogonalizes: 2D HIDDEN weight matrices. Embeddings,
+    positional tables and the untied head stay on AdamW (the established
+    Muon recipe — orthogonalizing the embedding basis hurts; the
+    reference's PIPE_Muon likewise only touches layer weights,
+    Optimizer.cu:487). Must match the dispatch in apply_updates."""
+    if optimizer != "muon" or getattr(p, "ndim", 0) != 2 \
+            or p.shape[0] < 64 or p.shape[1] < 64:
+        return False
+    leaf = path.rsplit(".", 1)[-1]
+    return leaf not in ("wte", "wpe", "head")
 
 
 def init_opt_state(params, optimizer: str = "adamw") -> OptState:
@@ -81,12 +87,14 @@ def init_opt_state(params, optimizer: str = "adamw") -> OptState:
             return jnp.zeros((0,), jnp.float32)
         return jnp.zeros(p.shape, jnp.float32)
 
-    def zeros_v(p):
-        if not _is_float(p) or _muon_leaf(p, optimizer):
+    def zeros_v(kp, p):
+        path = ".".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in kp)
+        if not _is_float(p) or _muon_leaf(p, optimizer, path):
             return jnp.zeros((0,), jnp.float32)
         return jnp.zeros(p.shape, jnp.float32)
     m = _tmap(zeros, params)
-    v = _tmap(zeros_v, params)
+    v = jax.tree_util.tree_map_with_path(zeros_v, params)
     return OptState(m=m, v=v, step=jnp.zeros((), jnp.int32),
                     spikes=jnp.zeros((), jnp.int32))
 
@@ -165,20 +173,24 @@ def apply_updates(params, grads, opt: OptState, *, optimizer: str, lr,
     step = opt.step + 1
     spikes = jnp.zeros((), jnp.int32)
 
-    p_leaves, treedef = jax.tree_util.tree_flatten(params)
+    pl_, treedef = jax.tree_util.tree_flatten_with_path(params)
+    paths = [".".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                      for k in kp) for kp, _ in pl_]
+    p_leaves = [leaf for _, leaf in pl_]
     g_leaves = treedef.flatten_up_to(grads)
     m_leaves = treedef.flatten_up_to(opt.m)
     v_leaves = treedef.flatten_up_to(opt.v) if opt.v is not None else [None] * len(p_leaves)
 
     new_p, new_m, new_v = [], [], []
-    for p, g, m, v in zip(p_leaves, g_leaves, m_leaves, v_leaves):
+    for path, p, g, m, v in zip(paths, p_leaves, g_leaves, m_leaves,
+                                v_leaves):
         if not _is_float(p) or not _real_grad(g):
             # frozen leaf (int codes, masked grads): pass through untouched
             new_p.append(p)
             new_m.append(m)
             new_v.append(v)
             continue
-        use_muon = _muon_leaf(p, optimizer)
+        use_muon = _muon_leaf(p, optimizer, path)
         decay = p.ndim >= 2  # no weight decay on norms/biases
         if use_muon:
             np_, nm, sp = muon_update(

@@ -93,7 +93,9 @@ def test_muon_golden_losses():
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     _check(losses[0], 4.867818355560303)
-    _check(losses[11], 3.303659677505493)
+    # re-pinned after r2 muon fix: embeddings/head moved to AdamW
+    # (orthogonalizing the embedding basis was costing 2.4x at step 12)
+    _check(losses[11], 1.3584054708480835)
 
 
 def test_salmon_golden_losses():

@@ -46,15 +46,20 @@ def test_muon_trains_with_stub_v():
     card = tiny_card()
     tcard = TrainCard(batch=8, lr=1e-2, warmup=0, optimizer="muon")
     state = init_train_state(card, tcard)
-    # structural check: v is a stub exactly on muon leaves
-    p_leaves = jax.tree_util.tree_leaves(state.params)
+    # structural check: v is a stub exactly on muon leaves (path-aware:
+    # embeddings/head stay AdamW and keep real v buffers)
+    pl = jax.tree_util.tree_flatten_with_path(state.params)[0]
     v_leaves = jax.tree_util.tree_leaves(state.opt.v)
-    assert len(p_leaves) == len(v_leaves)
+    assert len(pl) == len(v_leaves)
     n_stub = 0
-    for p, v in zip(p_leaves, v_leaves):
-        if _muon_leaf(p, "muon"):
+    for (kp, p), v in zip(pl, v_leaves):
+        path = ".".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in kp)
+        if _muon_leaf(p, "muon", path):
             assert v.size == 0
             n_stub += 1
+        elif path.rsplit(".", 1)[-1] == "wte":
+            assert v.size == p.size     # embedding stays AdamW
     assert n_stub > 0   # qwen3 tiny model has >=1 muon-eligible matrix
     state, losses = _train(card, tcard, state, 8)
     assert losses[-1] < losses[0]
