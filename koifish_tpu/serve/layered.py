@@ -124,7 +124,24 @@ def decode_step_layered(card: ModelCard, params: Params, token: jax.Array,
         q, k, v = qkv_project(card, lp, h, cos, sin, positions)
         k1, v1 = k[:, 0], v[:, 0]                           # [B, H, D]
         a = None
-        if quant:
+        if lc.fmt is QFormat.QJL:
+            from koifish_tpu.ops.qjl import (qjl_decode_attention,
+                                             qjl_encode_keys, qjl_projection)
+            proj = qjl_projection(card.head_dim,
+                                  kvc.QJL_SKETCH_RATIO * card.head_dim,
+                                  kvc.QJL_SEED)
+            kq, knorm = qjl_encode_keys(k1, proj)
+            vq, vsc = kvc._quant_kv(v1, QFormat.INT8)
+            kl = _write(kl, kq, slots, lc.uniform)
+            vl = _write(vl, vq, slots, lc.uniform)
+            ksl = _write(lc.k_scale[li], knorm, slots, lc.uniform)
+            vsl = _write(lc.v_scale[li], vsc, slots, lc.uniform)
+            ks_out.append(ksl); vs_out.append(vsl)
+            vlf = (vl.astype(jnp.float32) * vsl[..., None]
+                   ).astype(jnp.bfloat16)
+            a = qjl_decode_attention(q[:, 0], kl, ksl, vlf, valid, proj,
+                                     att_scale)
+        elif quant:
             kq, ksc = kvc._quant_kv(k1, lc.fmt)
             vq, vsc = kvc._quant_kv(v1, lc.fmt)
             kl = _write(kl, kq, slots, lc.uniform)

@@ -86,3 +86,30 @@ def test_qjl_cache_end_to_end_decode():
     pq = jax.nn.softmax(qjl, -1)
     # head_dim 16 -> sketch 32: noisy but the distribution must stay close
     assert float(jnp.abs(pf - pq).max()) < 0.4
+
+
+def test_qjl_generate_layered_path():
+    """generate() (per-layer cache path) must handle the QJL format —
+    regression guard: the layered rewrite initially only knew
+    INT8/INT4/BF16."""
+    from koifish_tpu.config import SamplerCard
+    from koifish_tpu.serve import generate, init_cache
+    card = ModelCard.from_arch("QWEN3", vocab_size=128, n_layer=2, n_embd=64,
+                               n_head=4, n_kv_head=2, head_dim=16, n_ffn=128,
+                               n_ctx=32, max_pos=64)
+    params = init_params(card, jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 128)
+
+    def run(fmt):
+        cache = init_cache(card.n_layer, 2, 32, card.n_kv_head,
+                           card.head_dim, fmt=fmt)
+        toks, _ = generate(card, params, prompt, cache,
+                           SamplerCard(temperature=0.0), max_new_tokens=6,
+                           decode_chunk=3)
+        return np.asarray(toks)
+
+    ref = run(QFormat.BF16)
+    qjl = run(QFormat.QJL)
+    assert qjl.shape == ref.shape
+    # greedy tokens from a sketched cache mostly agree on a tiny model
+    assert (qjl == ref).mean() > 0.5
