@@ -349,3 +349,28 @@ def test_remat_variants_match(remat):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=2e-2, atol=1e-5)
+
+
+def test_mla_generate_layered_path():
+    """MLA (K dim != V dim) must flow through generate()'s per-layer
+    cache path (qkv_project handles the MLA projections; the V-dim split
+    rides cache_for's v_head_dim)."""
+    from koifish_tpu.config import SamplerCard
+    from koifish_tpu.serve import cache_for, generate
+    card = ModelCard.from_arch(
+        "DEEPSEEK", vocab_size=256, n_layer=2, n_embd=64, n_head=4,
+        n_kv_head=4, n_ffn=128, n_ctx=32, max_pos=64)
+    card.attn = "mla"
+    card.q_lora_rank = 24
+    card.kv_lora_rank = 32
+    card.qk_nope_head_dim = 16
+    card.qk_rope_head_dim = 8
+    card.v_head_dim = 16
+    card.head_dim = 24
+    params = init_params(card, jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 256)
+    cache = cache_for(card, 2, 32)
+    toks, _ = generate(card, params, prompt, cache,
+                       SamplerCard(temperature=0.0), max_new_tokens=6,
+                       decode_chunk=3)
+    assert np.asarray(toks).shape == (2, 6)
