@@ -7,6 +7,7 @@ import numpy as np
 from koifish_tpu.config import ModelCard, SamplerCard
 from koifish_tpu.models import init_params
 from koifish_tpu.serve import generate, init_cache
+from koifish_tpu.dtypes import QFormat
 from koifish_tpu.serve.batching import ContinuousBatcher, Request, _bucket
 
 
@@ -93,3 +94,17 @@ def test_batcher_decode_chunk_matches_single():
             eng.submit(Request(rid=i, prompt=list(p), max_new=9))
         outs.append({k: r.tokens for k, r in eng.run().items()})
     assert outs[0] == outs[1]
+
+
+def test_batcher_int4_kv_pool():
+    """Continuous batcher over a packed INT4-KV pool (capacity mode)."""
+    card = tiny_card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    b = ContinuousBatcher(card, params, n_slots=2, cache_size=64,
+                          kv_fmt=QFormat.INT4, decode_chunk=4)
+    for rid in range(3):
+        b.submit(Request(rid=rid, prompt=[3, 5, 7 + rid], max_new=6))
+    res = b.run()
+    assert len(res) == 3
+    assert all(len(r.tokens) == 6 for r in res.values())
+    assert b.aggregate_tokens_per_sec > 0
