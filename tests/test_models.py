@@ -374,3 +374,30 @@ def test_mla_generate_layered_path():
                        SamplerCard(temperature=0.0), max_new_tokens=6,
                        decode_chunk=3)
     assert np.asarray(toks).shape == (2, 6)
+
+
+@pytest.mark.parametrize("fname,arch,layers,embd", [
+    ("gpt2_124M.json", "GPT2", 12, 768),
+    ("gpt2_774M.json", "GPT2", 36, 1280),
+    ("gpt2_1558M.json", "GPT2", 48, 1600),
+    ("qwen25_0.5B.json", "QWEN2", 24, 896),
+    ("qwen3_0.6B.json", "QWEN3", 28, 1024),
+    ("qwen3_4B.json", "QWEN3", 36, 2560),
+    ("qwen3_596M_q4.json", "QWEN3", 6, 1024),
+    ("qwen3_sft.json", "QWEN3", 28, 1024),
+])
+def test_real_reference_configs_parse(fname, arch, layers, embd):
+    """Every shipping reference case config must load through CLIParams
+    with the right model dims (the config schema IS the product surface,
+    reference README.md:26)."""
+    import os
+    base = "/root/reference/cases"
+    path = os.path.join(base, fname)
+    if not os.path.exists(path):
+        path = os.path.join(base, "qwen3", fname)
+    if not os.path.exists(path):
+        pytest.skip("reference cases not mounted")
+    p = CLIParams.load(path)
+    assert p.model.arch == arch
+    assert p.model.n_layer == layers
+    assert p.model.n_embd == embd
