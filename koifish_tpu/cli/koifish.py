@@ -24,6 +24,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--out-dir", default=".", help="loss CSV / checkpoint dir")
     ap.add_argument("--dp", type=int, default=1, help="data-parallel ways")
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel ways (ring attention over an "
+                         "sp mesh axis; ctx must divide)")
     ap.add_argument("--pp", type=int, default=1,
                     help="pipeline stages (GPipe microbatch schedule)")
     ap.add_argument("--n-micro", type=int, default=0,
@@ -202,11 +205,18 @@ def main(argv=None) -> int:
 
     # multi-chip: shard state TP(+FSDP), batches DP (new capability vs the
     # single-GPU reference — SURVEY.md §2.7)
-    if args.dp * args.tp > 1:
+    if args.dp * args.tp * args.sp > 1:
         from koifish_tpu.parallel.mesh import make_mesh
         from koifish_tpu.parallel.multihost import per_host_batch_slice
         from koifish_tpu.train.sharded import shard_batch, shard_train_state
-        mesh = make_mesh({"dp": args.dp, "tp": args.tp})
+        axes = {"dp": args.dp, "tp": args.tp}
+        if args.sp > 1:
+            axes["sp"] = args.sp
+            from koifish_tpu.ops.attention import set_sequence_parallel
+        mesh = make_mesh(axes)
+        if args.sp > 1:
+            # ring attention over the sp axis (ambient, trace-time)
+            set_sequence_parallel("sp", mesh)
         state = shard_train_state(state, mesh, tp="tp",
                                   fsdp="dp" if args.fsdp else None)
         if jax.process_count() > 1:
@@ -219,7 +229,8 @@ def main(argv=None) -> int:
                   f"of {tcard.batch}")
         else:
             batches = (shard_batch(b, mesh) for b in batches)
-        print(f"[koifish] mesh dp={args.dp} tp={args.tp} fsdp={args.fsdp}")
+        print(f"[koifish] mesh dp={args.dp} tp={args.tp} sp={args.sp} "
+              f"fsdp={args.fsdp}")
 
     qcard = p.quant if p.quant.rules else None
     if qcard is not None:

@@ -155,3 +155,40 @@ def test_tp_decode_matches_single():
     l3, _ = jit_prefill(card, sqp, tokens, c3)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l3),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_sequence_parallel_training_matches():
+    """Ring attention wired into the TRAIN step (ambient sp switch,
+    koifish --sp): loss curve matches single-device to bf16 tolerance."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from koifish_tpu.ops.attention import set_sequence_parallel
+    from koifish_tpu.train.trainer import init_train_state, make_train_step
+
+    card = ModelCard.from_arch(
+        "QWEN3", vocab_size=128, n_layer=2, n_embd=64, n_head=4,
+        n_kv_head=2, head_dim=16, n_ffn=128, n_ctx=64, max_pos=64)
+    tcard = TrainCard(batch=4, lr=0.01, warmup=3, seed=42, remat=False)
+
+    def run(sp):
+        if sp:
+            set_sequence_parallel(
+                "sp", Mesh(np.array(jax.devices()[:2]), ("sp",)))
+        try:
+            state = init_train_state(card, tcard)
+            step = make_train_step(card, tcard, total_steps=10)
+            key = jax.random.PRNGKey(0)
+            out = []
+            for _ in range(4):
+                key, k = jax.random.split(key)
+                s = jax.random.randint(k, (4, 1), 0, 64)
+                batch = {"tokens": ((s + jnp.arange(65)[None]) % 64)[None
+                         ].astype(jnp.int32)}
+                state, m = step(state, batch)
+                out.append(float(m["loss"]))
+            return out
+        finally:
+            set_sequence_parallel(None)
+
+    base, sp = run(False), run(True)
+    assert max(abs(a - b) / a for a, b in zip(base, sp)) < 0.01
