@@ -437,3 +437,36 @@ def test_bubble_speculative_cli(tmp_path, tiny_hf):
     a = list(csv.DictReader(open(tmp_path / "a.csv")))[0]["answer"]
     b = list(csv.DictReader(open(tmp_path / "b.csv")))[0]["answer"]
     assert a == b, (a, b)
+
+
+def test_koifish_sp_cli(tmp_path):
+    """--sp: sequence-parallel (ring attention) training via the CLI."""
+    seq = (np.arange(30000) % 64).astype(np.uint32)
+    write_shard(str(tmp_path / "s_train.bin"), seq, MAGIC_QWEN3, 300)
+    cfg = {
+        "model": {"arch": "QWEN3", "vocab_size": 512,
+                  "parameter": {"Layer": 2,
+                                "transformer": {"Ctx": 64, "Embed": 128,
+                                                "Ffn": 256, "Head": 8,
+                                                "KVHead": 4, "head_dim": 16}}},
+        "train": {"batch": 4, "learning-rate": 0.01, "warmup": 3,
+                  "dump-every": 5, "remat": False},
+        "datasets": {"train": {"glob": str(tmp_path / "s_train.bin")}},
+        "debug": {"most_iter": 8},
+        "seed": 42,
+    }
+    cfgp = str(tmp_path / "s.json")
+    with open(cfgp, "w") as f:
+        json.dump(cfg, f)
+    import subprocess
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "koifish_tpu.cli.koifish", cfgp,
+         "--device", "cpu", "--out-dir", str(tmp_path), "--sp", "2"],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sp=2" in r.stdout
+    with open(tmp_path / "koifish_loss.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert float(rows[-1]["loss"]) < float(rows[0]["loss"])
