@@ -87,10 +87,14 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
     trainable: same-structure tree of bool — frozen leaves get zero grads
                (SFT methods: lora/bitfit/only_attention/only_head)
     """
+    from koifish_tpu.ops.int8_train import set_train_int8
     if tcard.int8_matmul:
-        from koifish_tpu.ops.int8_train import set_train_int8
         set_train_int8(True, wgrad=tcard.int8_wgrad,   # ambient, trace-time
                        min_weight_elems=tcard.int8_min_kn)
+    else:
+        # reset: the ambient switch must track THIS card, not whatever a
+        # previous make_train_step set (it leaked across test cases)
+        set_train_int8(False)
 
     def micro_grads(params, tokens, loss_mask, rng=None):
         # grad only w.r.t. float leaves — integer leaves (packed QTensor
