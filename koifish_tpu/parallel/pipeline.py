@@ -147,8 +147,17 @@ def make_pp_train_step(card: ModelCard, tcard, mesh: Mesh, n_micro: int,
     """Jitted (stage_layers, other, opt_state, tokens) -> (..., metrics)
     pipeline training step reusing the AdamW/Muon pipe on the staged
     param pytrees."""
+    from koifish_tpu.ops.int8_train import set_train_int8
     from koifish_tpu.train.optimizer import apply_updates
     from koifish_tpu.train.schedule import lr_at
+
+    # ambient int8 switch must track THIS card (same reset as
+    # make_train_step — a leaked switch changes the scan carry dtypes)
+    if getattr(tcard, "int8_matmul", False):
+        set_train_int8(True, wgrad=tcard.int8_wgrad,
+                       min_weight_elems=tcard.int8_min_kn)
+    else:
+        set_train_int8(False)
 
     @functools.partial(jax.jit, donate_argnames=("stage_layers", "other",
                                                  "opt"))
