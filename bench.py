@@ -1,35 +1,63 @@
-"""Benchmark driver — prints ONE JSON line.
+"""Benchmark driver — prints ONE final JSON line (plus earlier partial lines).
 
 Headline metric (BASELINE.md): GPT2-124M pretraining throughput,
 tokens/sec/chip, vs the reference's ~140k tok/s on 1x RTX 4090
 (reference README.md:11). Runs on whatever jax.default_backend() is —
 the real TPU chip under the driver.
 
-Usage: python bench.py [--model gpt2-124m|qwen3-0.6b] [--steps N]
+Resilience contract (this file must never lose a round's evidence):
+- the default mode is an ORCHESTRATOR that runs the train and decode
+  sections in separate subprocesses, so a crash/hang in one cannot take
+  down the other;
+- TPU-backend init failures ("Unable to initialize backend") are retried
+  with bounded backoff — a fresh subprocess retries init from scratch,
+  sidestepping JAX's in-process caching of backend-init errors;
+- every exit path prints valid JSON: on failure the line carries an
+  "error" field and `"value": null`, never a bare traceback;
+- the train result line is printed the moment it exists, BEFORE decode
+  starts, so a later crash can't erase it; the final combined line is
+  printed last (a consumer that takes the last JSON line gets everything).
+
+Usage: python bench.py [--mode all|train|decode] [--model gpt2-124m|qwen3-0.6b]
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-from koifish_tpu.config import ModelCard, TrainCard
-from koifish_tpu.train.trainer import init_train_state, make_train_step
 
 BASELINE_TOKS = 140_000.0  # GPT2-124M on 4090, reference README.md:11
 
+# Retry schedule for a failed/hung section subprocess. Backend-init flakes
+# (the exact failure that erased BENCH_r02: "Unable to initialize backend
+# 'axon': UNAVAILABLE") are transient tunnel conditions — waiting and
+# retrying in a FRESH process is the only reliable recovery because JAX
+# caches a failed backend init for the life of the process.
+RETRY_DELAYS_S = tuple(
+    float(d) for d in os.environ.get(
+        "KOIFISH_BENCH_RETRY_DELAYS", "0,20,60,120").split(","))
+SECTION_TIMEOUT_S = float(
+    os.environ.get("KOIFISH_BENCH_SECTION_TIMEOUT", "1200"))
+# hard wall for the WHOLE orchestrator: with a dead tunnel every attempt
+# hangs to its full section timeout, and unbounded retries would burn
+# hours of driver budget producing nothing
+TOTAL_DEADLINE_S = float(
+    os.environ.get("KOIFISH_BENCH_TOTAL_DEADLINE", "3600"))
 
-def gpt2_124m() -> ModelCard:
+
+def _gpt2_124m():
+    from koifish_tpu.config import ModelCard
     return ModelCard.from_arch(
         "GPT2", vocab_size=50304,  # padded to 128-multiple for MXU tiling
         n_layer=12, n_embd=768, n_head=12, n_kv_head=12, head_dim=64,
         n_ffn=3072, n_ctx=1024, max_pos=1024)
 
 
-def qwen3_0_6b() -> ModelCard:
+def _qwen3_0_6b():
+    from koifish_tpu.config import ModelCard
     return ModelCard.from_arch(
         "QWEN3", vocab_size=151936, n_layer=28, n_embd=1024, n_head=16,
         n_kv_head=8, head_dim=128, n_ffn=3072, n_ctx=1024, max_pos=32768)
@@ -38,6 +66,7 @@ def qwen3_0_6b() -> ModelCard:
 def bench_decode(args, emit=True):
     """Decode throughput: Qwen3-0.6B INT4 weights + INT8 KV, batched decode.
     tokens/sec/chip + p50 TTFT (BASELINE.json serving metrics)."""
+    import jax
     import jax.numpy as jnp
     from koifish_tpu.config import QuantCard, SamplerCard
     from koifish_tpu.dtypes import QFormat
@@ -50,7 +79,7 @@ def bench_decode(args, emit=True):
     from koifish_tpu.serve.stacked import stack_layers
     from koifish_tpu.ops.sampling import sample_logits
 
-    card = qwen3_0_6b()
+    card = _qwen3_0_6b()
     params = init_params(card, jax.random.PRNGKey(0))
     qc = QuantCard.from_json({"self_attn": {"bits": 4}, "mlp": {"bits": 4},
                               "group_size": 128})
@@ -116,18 +145,27 @@ def bench_decode(args, emit=True):
         "metric": f"qwen3-0.6b INT4+INT8KV decode (B={B}, S={S}, chunk={K})",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
-        "vs_baseline": round(tps / 20_000.0, 3),  # ref train tok/s as anchor
+        # the reference publishes NO decode tok/s (BASELINE.md note) — this
+        # is the rebuild's OWN baseline, so there is no honest ratio to emit
+        "vs_baseline": None,
+        "baseline_anchor": "none: reference publishes no decode tok/s "
+                           "(BASELINE.md); own-baseline metric",
         "ttft_warm_s": round(ttft_warm, 3),
         "step_ms": round(dt * 1e3, 2),
         "per_token_dispatch_ms": round(dt1 * 1e3, 2),
     }
     if emit:
-        print(json.dumps(result))
+        print(json.dumps(result), flush=True)
     return result
 
 
 def bench_train(args, emit=True):
-    card = gpt2_124m() if args.model == "gpt2-124m" else qwen3_0_6b()
+    import jax
+    import jax.numpy as jnp
+    from koifish_tpu.config import TrainCard
+    from koifish_tpu.train.trainer import init_train_state, make_train_step
+
+    card = _gpt2_124m() if args.model == "gpt2-124m" else _qwen3_0_6b()
     # measured fastest configs (sweep r2): gpt2-124m B=32 no-remat
     # 150.3K (B=16 145.8K, B=48 150.7K, B=64 spills); qwen3-0.6b B=8
     # no-remat 23.7K > dots 22.6K > full 19.9K tok/s
@@ -176,8 +214,94 @@ def bench_train(args, emit=True):
         "vs_baseline": round(toks_per_sec / BASELINE_TOKS, 3),
     }
     if emit:
-        print(json.dumps(result))
+        print(json.dumps(result), flush=True)
     return result
+
+
+def _run_section(mode: str, extra: list[str], deadline: float) -> dict:
+    """Run one bench section in a subprocess with bounded retries.
+
+    A fresh process per attempt is deliberate: JAX caches a failed
+    backend init for the life of the process, so in-process retry of
+    the BENCH_r02 failure mode can never succeed. `deadline` is an
+    absolute time.monotonic() wall — no attempt starts with <60s left.
+    Returns the section's JSON dict, or {"error": ...} after all retries.
+    """
+    last_err = "unknown"
+    for i, delay in enumerate(RETRY_DELAYS_S):
+        if delay:
+            print(f"[bench] retrying {mode} in {delay}s "
+                  f"(attempt {i + 1}/{len(RETRY_DELAYS_S)}): {last_err[:160]}",
+                  file=sys.stderr, flush=True)
+            time.sleep(delay)
+        budget = deadline - time.monotonic()
+        if budget < 60:
+            last_err += " (total bench deadline reached)"
+            break
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--mode", mode, *extra],
+                capture_output=True, text=True,
+                timeout=min(SECTION_TIMEOUT_S, budget),
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            last_err = (f"{mode} section timed out after "
+                        f"{min(SECTION_TIMEOUT_S, budget):.0f}s")
+            continue
+        except Exception as e:  # spawn failure — not retryable by waiting
+            last_err = f"spawn failed: {e!r}"
+            break
+        # take the LAST parseable JSON line of stdout
+        result = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                cand = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(cand, dict):
+                result = cand
+                break
+        if proc.returncode == 0 and result is not None:
+            return result
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        last_err = (f"rc={proc.returncode}: " +
+                    " | ".join(tail[-3:]))[:500] if tail else \
+                   f"rc={proc.returncode}, no output"
+    return {"error": f"{mode} failed after {len(RETRY_DELAYS_S)} attempts: "
+                     f"{last_err}"}
+
+
+def _orchestrate(args) -> None:
+    """Default mode: both sections, each fault-isolated, JSON no matter what.
+
+    Prints the train line as soon as it exists, then the final combined
+    line. Exits 0 on every path."""
+    deadline = time.monotonic() + TOTAL_DEADLINE_S
+    extra = ["--model", args.model, "--steps", str(args.steps),
+             "--ctx", str(args.ctx)]
+    if args.batch != 16:
+        extra += ["--batch", str(args.batch)]
+    train = _run_section("train", extra, deadline)
+    # partial line FIRST: a decode-side crash can no longer erase this
+    print(json.dumps(train), flush=True)
+
+    decode = _run_section("decode", ["--steps", "64", "--batch", "32"],
+                          deadline)
+
+    final = dict(train) if "value" in train else {
+        "metric": f"{args.model} pretrain throughput (1 chip)",
+        "value": None, "unit": "tokens/sec/chip", "vs_baseline": None,
+        "error": train.get("error", "train section produced no result"),
+    }
+    if "error" in decode:
+        final["decode_error"] = decode["error"][:300]
+    else:
+        final["decode_tok_s"] = decode.get("value")
+        final["decode_metric"] = decode.get("metric")
+        final["decode_step_ms"] = decode.get("step_ms")
+        final["ttft_warm_s"] = decode.get("ttft_warm_s")
+    print(json.dumps(final), flush=True)
 
 
 def main():
@@ -188,6 +312,12 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=1024)
     args = ap.parse_args()
+    # smoke-test hook: the axon sitecustomize overrides JAX_PLATFORMS, so
+    # only a jax.config update can steer a worker onto the CPU backend
+    plat = os.environ.get("KOIFISH_BENCH_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     if args.mode == "decode":
         if args.batch == 16:   # decode default: best measured config
             args.batch = 32
@@ -196,22 +326,13 @@ def main():
     if args.mode == "train":
         bench_train(args)
         return
-
-    # default: ONE JSON line carrying both the train headline and the
-    # decode/TTFT entries (SURVEY §6: the rebuild's own decode baselines)
-    train = bench_train(args, emit=False)
-    import copy
-    dargs = copy.copy(args)
-    dargs.batch, dargs.steps = 32, 64
     try:
-        decode = bench_decode(dargs, emit=False)
-        train["decode_tok_s"] = decode["value"]
-        train["decode_metric"] = decode["metric"]
-        train["decode_step_ms"] = decode["step_ms"]
-        train["ttft_warm_s"] = decode["ttft_warm_s"]
-    except Exception as e:  # decode failure must not hide the train number
-        train["decode_error"] = repr(e)[:200]
-    print(json.dumps(train))
+        _orchestrate(args)
+    except Exception as e:  # the orchestrator itself must never leak rc=1
+        print(json.dumps({"metric": "bench orchestrator", "value": None,
+                          "unit": "tokens/sec/chip", "vs_baseline": None,
+                          "error": repr(e)[:500]}), flush=True)
+    sys.exit(0)
 
 
 if __name__ == "__main__":
