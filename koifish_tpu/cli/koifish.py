@@ -205,6 +205,7 @@ def main(argv=None) -> int:
 
     # multi-chip: shard state TP(+FSDP), batches DP (new capability vs the
     # single-GPU reference — SURVEY.md §2.7)
+    sp_policy = None
     if args.dp * args.tp * args.sp > 1:
         from koifish_tpu.parallel.mesh import make_mesh
         from koifish_tpu.parallel.multihost import per_host_batch_slice
@@ -212,11 +213,12 @@ def main(argv=None) -> int:
         axes = {"dp": args.dp, "tp": args.tp}
         if args.sp > 1:
             axes["sp"] = args.sp
-            from koifish_tpu.ops.attention import set_sequence_parallel
         mesh = make_mesh(axes)
         if args.sp > 1:
-            # ring attention over the sp axis (ambient, trace-time)
-            set_sequence_parallel("sp", mesh)
+            # ring attention over the sp axis — an explicit trace-scoped
+            # policy handed to make_train_step (ops/tracectx.py)
+            from koifish_tpu.ops.tracectx import SPPolicy
+            sp_policy = SPPolicy("sp", mesh)
         state = shard_train_state(state, mesh, tp="tp",
                                   fsdp="dp" if args.fsdp else None)
         if jax.process_count() > 1:
@@ -312,7 +314,8 @@ def main(argv=None) -> int:
     state, infos = train_loop(
         card, tcard, state, batches,
         total_steps=total_steps, log_fn=log_fn, eval_fn=eval_fn,
-        save_fn=save_fn, qcard=qcard, trainable=trainable, hook_fn=hook_fn)
+        save_fn=save_fn, qcard=qcard, trainable=trainable, hook_fn=hook_fn,
+        sp=sp_policy)
     csv = tcard.train_csv_path or os.path.join(args.out_dir,
                                                "koifish_loss.csv")
     infos.save_csv(csv)

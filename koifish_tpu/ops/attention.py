@@ -18,27 +18,12 @@ import jax
 import jax.numpy as jnp
 
 _BACKEND = "auto"
-_SP_AXIS: Optional[str] = None   # sequence-parallel mesh axis (ring attention)
 
 
 def set_backend(name: str) -> None:
     global _BACKEND
     assert name in ("auto", "ref", "pallas")
     _BACKEND = name
-
-
-_SP_MESH = None
-
-
-def set_sequence_parallel(axis: Optional[str], mesh=None) -> None:
-    """Ambient switch (set BEFORE tracing, like set_train_int8): with a
-    mesh axis name + Mesh, full-sequence causal attention runs the ring
-    attention collective with T sharded over that axis (a shard_map
-    region nested in the jitted step — sequence-parallel training,
-    `koifish --sp`). None disables."""
-    global _SP_AXIS, _SP_MESH
-    _SP_AXIS = axis
-    _SP_MESH = mesh
 
 
 def _gqa_scores(q: jax.Array, k: jax.Array) -> jax.Array:
@@ -71,19 +56,22 @@ def causal_attention(
     tk = k.shape[1]
     scale = scale if scale is not None else 1.0 / (d ** 0.5)
 
-    if (_SP_AXIS is not None and _SP_MESH is not None and backend != "ref"
+    from koifish_tpu.ops.tracectx import current_sp
+    sp = current_sp()
+    if (sp is not None and backend != "ref"
             and mask is None and causal and window == 0 and tq == tk
-            and tq % _SP_MESH.shape[_SP_AXIS] == 0):
+            and tq % sp.mesh.shape[sp.axis] == 0):
         # sequence-parallel training: ring attention with T sharded over
         # the sp axis (nested shard_map; grads flow — the fori_loop has a
-        # static trip count so reverse-mode converts it to a scan)
+        # static trip count so reverse-mode converts it to a scan). The
+        # SPPolicy is a trace-scoped object pushed by make_train_step.
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
         from koifish_tpu.parallel.ring_attention import ring_attention
-        spec = P(None, _SP_AXIS, None, None)
+        spec = P(None, sp.axis, None, None)
         fn = shard_map(
-            lambda q_, k_, v_: ring_attention(q_, k_, v_, _SP_AXIS, scale),
-            mesh=_SP_MESH, in_specs=(spec, spec, spec), out_specs=spec,
+            lambda q_, k_, v_: ring_attention(q_, k_, v_, sp.axis, scale),
+            mesh=sp.mesh, in_specs=(spec, spec, spec), out_specs=spec,
             check_rep=False)
         return fn(q, k, v).astype(q.dtype)
 

@@ -116,8 +116,9 @@ def fused_ce_loss(
     B, T, E = hidden.shape
     V = head_w.shape[-1]
     if use_int8 is None:
-        from koifish_tpu.ops.int8_train import int8_applies
-        use_int8 = int8_applies((E, V))
+        from koifish_tpu.ops.tracectx import current_int8
+        pol = current_int8()
+        use_int8 = pol is not None and pol.applies((E, V))
     n_chunks = -(-V // chunk)
     pad_v = n_chunks * chunk - V
     w = head_w.astype(jnp.bfloat16)
@@ -133,7 +134,7 @@ def fused_ce_loss(
         w_c, ci = inp
         if use_int8:
             from koifish_tpu.ops.int8_train import int8_matmul
-            logits = int8_matmul(x2, w_c).astype(jnp.float32)
+            logits = int8_matmul(x2, w_c, False).astype(jnp.float32)
         else:
             logits = jnp.dot(x2, w_c, preferred_element_type=jnp.float32)
         # mask padded vocab tail

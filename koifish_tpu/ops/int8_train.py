@@ -30,36 +30,17 @@ Where int8 pays (round-2 measurement, GPT2-124M B=16):
 
 XLA lowers int8 x int8 -> int32 ``dot`` to the MXU natively and fuses
 the scale epilogue into the dot output; no Pallas needed. Enable
-per-step with TrainCard.int8_matmul (ambient switch consumed by
-ops/matmul.qmatmul for plain bf16 weights above the size threshold).
+per-step with TrainCard.int8_matmul — make_train_step pushes an
+``Int8Policy`` scope (ops/tracectx.py) around its trace and
+ops/matmul.qmatmul consults it for plain bf16 weights above the size
+threshold.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
-
-_ENABLED = False
-_WGRAD = False
-_MIN_WEIGHT_ELEMS = 1 << 24     # K*N gate: head-sized and up
-
-
-def set_train_int8(on: bool, wgrad: bool = False,
-                   min_weight_elems: int = 1 << 24) -> None:
-    """Ambient switch — set BEFORE tracing the train step (static)."""
-    global _ENABLED, _WGRAD, _MIN_WEIGHT_ELEMS
-    _ENABLED = on
-    _WGRAD = wgrad
-    _MIN_WEIGHT_ELEMS = min_weight_elems
-
-
-def train_int8_enabled() -> bool:
-    return _ENABLED
-
-
-def int8_applies(shape) -> bool:
-    """Does the int8 path engage for a [K, N] weight of this shape?"""
-    return (_ENABLED and len(shape) == 2
-            and shape[0] * shape[1] >= _MIN_WEIGHT_ELEMS)
 
 
 def _rowwise_q8(x):
@@ -83,11 +64,13 @@ def _i8dot(a, b, dims):
                                preferred_element_type=jnp.int32)
 
 
-@jax.custom_vjp
-def int8_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def int8_matmul(x: jax.Array, w: jax.Array, wgrad: bool = False) -> jax.Array:
     """x [..., K] @ w [K, N]: int8 forward (fused scale epilogue), bf16
-    dgrad/wgrad against the dequantized forward codes."""
-    return _fwd(x, w)[0]
+    dgrad/wgrad against the dequantized forward codes. ``wgrad=True``
+    additionally runs the (measured-harmful, experimental) int8 wgrad —
+    static so the bwd trace can't depend on ambient state."""
+    return _fwd(x, w, wgrad)[0]
 
 
 def _fwd_impl(x2, wq, sw):
@@ -96,7 +79,7 @@ def _fwd_impl(x2, wq, sw):
     return acc.astype(jnp.float32) * sx * sw
 
 
-def _fwd(x, w):
+def _fwd(x, w, wgrad):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     wq, sw = _colwise_q8(w)
@@ -107,7 +90,7 @@ def _fwd(x, w):
     return y, (x, wq, sw, jnp.zeros((0,), w.dtype))
 
 
-def _bwd(res, g):
+def _bwd(wgrad, res, g):
     x, wq, sw, wstub = res
     lead = x.shape[:-1]
     g2 = g.reshape(-1, g.shape[-1])
@@ -120,7 +103,7 @@ def _bwd(res, g):
     dx = dx.reshape(*lead, x.shape[-1]).astype(x.dtype)
 
     x2 = x.reshape(-1, x.shape[-1])
-    if _WGRAD:
+    if wgrad:
         # experimental full-int8 (both operands column-quantized along
         # their non-contracted axes). Measured harmful for loss.
         xq_c, sx_c = _colwise_q8(x2)          # scales over K

@@ -57,10 +57,13 @@ def qmatmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
     if not isinstance(w, QTensor):
         # int8-forward training (FP8-GEMM analog; TrainCard.int8_matmul).
         # Size-gated: dynamic quant passes only pay for themselves on
-        # head-sized weights (see ops/int8_train.py).
-        from koifish_tpu.ops.int8_train import int8_matmul, int8_applies
-        if int8_applies(w.shape):
-            return int8_matmul(x, w).astype(out_dtype)
+        # head-sized weights (see ops/int8_train.py). The policy is a
+        # trace-scoped object pushed by make_train_step (ops/tracectx.py).
+        from koifish_tpu.ops.tracectx import current_int8
+        pol = current_int8()
+        if pol is not None and pol.applies(w.shape):
+            from koifish_tpu.ops.int8_train import int8_matmul
+            return int8_matmul(x, w, pol.wgrad).astype(out_dtype)
     wd = _dequant(w, x.dtype)
     # emit the dot at the target dtype directly: dot->f32->convert(bf16)
     # leaves an f32 alias that XLA happily re-uses for other consumers —

@@ -147,21 +147,23 @@ def make_pp_train_step(card: ModelCard, tcard, mesh: Mesh, n_micro: int,
     """Jitted (stage_layers, other, opt_state, tokens) -> (..., metrics)
     pipeline training step reusing the AdamW/Muon pipe on the staged
     param pytrees."""
-    from koifish_tpu.ops.int8_train import set_train_int8
+    from koifish_tpu.ops.tracectx import Int8Policy, int8_scope
     from koifish_tpu.train.optimizer import apply_updates
     from koifish_tpu.train.schedule import lr_at
 
-    # ambient int8 switch must track THIS card (same reset as
-    # make_train_step — a leaked switch changes the scan carry dtypes)
-    if getattr(tcard, "int8_matmul", False):
-        set_train_int8(True, wgrad=tcard.int8_wgrad,
-                       min_weight_elems=tcard.int8_min_kn)
-    else:
-        set_train_int8(False)
+    # int8 policy scoped to THIS step's trace (a leaked ambient switch
+    # used to change the scan carry dtypes across builders)
+    int8_pol = (Int8Policy(wgrad=tcard.int8_wgrad,
+                           min_weight_elems=tcard.int8_min_kn)
+                if getattr(tcard, "int8_matmul", False) else None)
 
     @functools.partial(jax.jit, donate_argnames=("stage_layers", "other",
                                                  "opt"))
     def step(stage_layers, other, opt, tokens, loss_mask=None):
+        with int8_scope(int8_pol):
+            return _step_body(stage_layers, other, opt, tokens, loss_mask)
+
+    def _step_body(stage_layers, other, opt, tokens, loss_mask=None):
         params = {"stages": stage_layers, "other": other}
 
         def loss_fn(params):

@@ -79,22 +79,20 @@ def _is_float(p):
 
 def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
                     qcard=None, trainable=None,
-                    compiler_options=None) -> Callable:
+                    compiler_options=None, sp=None) -> Callable:
     """Builds the jitted (state, batch) -> (state, metrics) step.
 
     qcard:     QuantCard → fake-quant QAT (or gama training when params
                already hold QTensors and train_target == "gama")
     trainable: same-structure tree of bool — frozen leaves get zero grads
                (SFT methods: lora/bitfit/only_attention/only_head)
+    sp:        SPPolicy(axis, mesh) → sequence-parallel training (ring
+               attention with T sharded over the axis)
     """
-    from koifish_tpu.ops.int8_train import set_train_int8
-    if tcard.int8_matmul:
-        set_train_int8(True, wgrad=tcard.int8_wgrad,   # ambient, trace-time
-                       min_weight_elems=tcard.int8_min_kn)
-    else:
-        # reset: the ambient switch must track THIS card, not whatever a
-        # previous make_train_step set (it leaked across test cases)
-        set_train_int8(False)
+    from koifish_tpu.ops.tracectx import (Int8Policy, int8_scope, sp_scope)
+    int8_pol = (Int8Policy(wgrad=tcard.int8_wgrad,
+                           min_weight_elems=tcard.int8_min_kn)
+                if tcard.int8_matmul else None)
 
     def micro_grads(params, tokens, loss_mask, rng=None):
         # grad only w.r.t. float leaves — integer leaves (packed QTensor
@@ -121,9 +119,7 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
                 for f in flags]
         return loss, jax.tree_util.tree_unflatten(treedef, stub)
 
-    @functools.partial(jax.jit, donate_argnames=("state",),
-                       compiler_options=compiler_options)
-    def step(state: TrainState, batch: Dict[str, jax.Array]):
+    def _step_body(state: TrainState, batch: Dict[str, jax.Array]):
         tokens = batch["tokens"]            # [A, B, T+1] (A = accum)
         loss_mask = batch.get("loss_mask")  # [A, B, T+1] or None
         accum = tokens.shape[0]
@@ -192,6 +188,14 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
         rng, _ = jax.random.split(state.rng)
         return TrainState(params=params, opt=opt, rng=rng), metrics
 
+    @functools.partial(jax.jit, donate_argnames=("state",),
+                       compiler_options=compiler_options)
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        # policies live exactly as long as THIS trace: nothing ambient
+        # survives the trace, so no reset/bleed across jit builders
+        with int8_scope(int8_pol), sp_scope(sp):
+            return _step_body(state, batch)
+
     return step
 
 
@@ -230,6 +234,7 @@ def train_loop(
     qcard=None,
     trainable=None,
     hook_fn: Optional[Callable[[TrainState, int, float], Optional[TrainState]]] = None,
+    sp=None,
 ) -> Tuple[TrainState, StepInfo]:
     """Host loop around the jitted step — ``Optimizer::Search`` analog with
     the reference's instability handling (emergency checkpoint then abort,
@@ -244,7 +249,7 @@ def train_loop(
         compiler_options = overlap_compiler_options()
     step = make_train_step(card, tcard, total_steps, qcard=qcard,
                            trainable=trainable,
-                           compiler_options=compiler_options)
+                           compiler_options=compiler_options, sp=sp)
     infos = StepInfo()
     tokens_per_batch = None
     leaf_paths = None

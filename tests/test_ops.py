@@ -68,16 +68,12 @@ def test_int8_matmul_fwd_close_bwd_exact_shape():
 def test_int8_matmul_wgrad_mode():
     """Experimental full-int8 wgrad (per-column scales on both operands of
     the x^T @ dy dot) stays within quantization-noise distance of bf16."""
-    from koifish_tpu.ops.int8_train import int8_matmul, set_train_int8
+    from koifish_tpu.ops.int8_train import int8_matmul
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (64, 256), jnp.bfloat16)
     w = jax.random.normal(jax.random.PRNGKey(1), (256, 512), jnp.bfloat16) * 0.05
-    set_train_int8(True, wgrad=True)
-    try:
-        g = jax.grad(lambda x, w: (int8_matmul(x, w).astype(jnp.float32) ** 2
-                                   ).sum(), argnums=1)(x, w)
-    finally:
-        set_train_int8(False)
+    g = jax.grad(lambda x, w: (int8_matmul(x, w, True).astype(jnp.float32) ** 2
+                               ).sum(), argnums=1)(x, w)
     gr = jax.grad(lambda x, w: (jnp.dot(x, w).astype(jnp.float32) ** 2
                                 ).sum(), argnums=1)(x, w)
     rel = float(jnp.linalg.norm(g.astype(jnp.float32) - gr.astype(jnp.float32))
@@ -90,27 +86,23 @@ def test_int8_train_step_converges():
     import numpy as np
     from koifish_tpu.config import ModelCard, TrainCard
     from koifish_tpu.train.trainer import init_train_state, make_train_step
-    from koifish_tpu.ops.int8_train import set_train_int8
     card = ModelCard.from_arch("QWEN3", vocab_size=128, n_layer=2, n_embd=256,
                                n_head=4, n_kv_head=2, head_dim=64, n_ffn=256,
                                n_ctx=32, max_pos=64)
     tcard = TrainCard(batch=8, lr=0.01, warmup=3, dump_every=100,
                       int8_matmul=True, int8_min_kn=0)
-    try:
-        state = init_train_state(card, tcard)
-        step = make_train_step(card, tcard, total_steps=20)
-        key = jax.random.PRNGKey(0)
-        losses = []
-        for _ in range(15):
-            key, k = jax.random.split(key)
-            s = jax.random.randint(k, (8, 1), 0, 64)
-            batch = {"tokens": ((s + jnp.arange(33)[None]) % 64)[None
-                     ].astype(jnp.int32)}
-            state, m = step(state, batch)
-            losses.append(float(m["loss"]))
-        assert losses[-1] < losses[0] * 0.6, losses
-    finally:
-        set_train_int8(False)
+    state = init_train_state(card, tcard)
+    step = make_train_step(card, tcard, total_steps=20)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(15):
+        key, k = jax.random.split(key)
+        s = jax.random.randint(k, (8, 1), 0, 64)
+        batch = {"tokens": ((s + jnp.arange(33)[None]) % 64)[None
+                 ].astype(jnp.int32)}
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.6, losses
 
 
 def test_int8_fused_ce_loss_parity():

@@ -158,11 +158,12 @@ def test_tp_decode_matches_single():
 
 
 def test_sequence_parallel_training_matches():
-    """Ring attention wired into the TRAIN step (ambient sp switch,
-    koifish --sp): loss curve matches single-device to bf16 tolerance."""
+    """Ring attention wired into the TRAIN step (SPPolicy handed to
+    make_train_step, koifish --sp): loss curve matches single-device to
+    bf16 tolerance."""
     import numpy as np
     from jax.sharding import Mesh
-    from koifish_tpu.ops.attention import set_sequence_parallel
+    from koifish_tpu.ops.tracectx import SPPolicy
     from koifish_tpu.train.trainer import init_train_state, make_train_step
 
     card = ModelCard.from_arch(
@@ -171,24 +172,20 @@ def test_sequence_parallel_training_matches():
     tcard = TrainCard(batch=4, lr=0.01, warmup=3, seed=42, remat=False)
 
     def run(sp):
-        if sp:
-            set_sequence_parallel(
-                "sp", Mesh(np.array(jax.devices()[:2]), ("sp",)))
-        try:
-            state = init_train_state(card, tcard)
-            step = make_train_step(card, tcard, total_steps=10)
-            key = jax.random.PRNGKey(0)
-            out = []
-            for _ in range(4):
-                key, k = jax.random.split(key)
-                s = jax.random.randint(k, (4, 1), 0, 64)
-                batch = {"tokens": ((s + jnp.arange(65)[None]) % 64)[None
-                         ].astype(jnp.int32)}
-                state, m = step(state, batch)
-                out.append(float(m["loss"]))
-            return out
-        finally:
-            set_sequence_parallel(None)
+        policy = (SPPolicy("sp", Mesh(np.array(jax.devices()[:2]), ("sp",)))
+                  if sp else None)
+        state = init_train_state(card, tcard)
+        step = make_train_step(card, tcard, total_steps=10, sp=policy)
+        key = jax.random.PRNGKey(0)
+        out = []
+        for _ in range(4):
+            key, k = jax.random.split(key)
+            s = jax.random.randint(k, (4, 1), 0, 64)
+            batch = {"tokens": ((s + jnp.arange(65)[None]) % 64)[None
+                     ].astype(jnp.int32)}
+            state, m = step(state, batch)
+            out.append(float(m["loss"]))
+        return out
 
     base, sp = run(False), run(True)
     assert max(abs(a - b) / a for a, b in zip(base, sp)) < 0.01
