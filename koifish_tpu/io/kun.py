@@ -237,9 +237,12 @@ class KunTensor:
     """One entry of a .kun/.ckp file — raw region plus parsed views.
 
     data:  the weight bytes viewed as ``dtype`` (packed formats: uint8)
-    gama:  per-group scales (f32 view) when szGama > 0
-    m, v:  AdamW moments (bf16 views) when the region extends past
-           szData+szGama (STATE checkpoints, huTensor.cu:510)
+    gama:  per-group scales — bf16, NOT f32 (``floatGama = __nv_bfloat16``,
+           g_float.hpp:261; ``gama_T`` casts data+szData to floatGama*,
+           GTensor.cpp:474) — when szGama > 0
+    m, v:  AdamW moments (bf16 views — floatMV, g_float.hpp:249) when the
+           region extends past szData+szGama (STATE checkpoints,
+           huTensor.cu:510)
     """
 
     def __init__(self, name: str, info: Dict[str, Any], region: np.ndarray):
@@ -255,7 +258,7 @@ class KunTensor:
         if self.dtype_name not in _KOI_BITS and \
                 int(np.prod(self.shape)) == self.data.size:
             self.data = self.data.reshape(self.shape)
-        self.gama = region[sz_data:sz_data + sz_gama].view(np.float32) \
+        self.gama = region[sz_data:sz_data + sz_gama].view(ml_dtypes.bfloat16) \
             if sz_gama else None
         rest = region[sz_data + sz_gama:]
         self.m = self.v = None
