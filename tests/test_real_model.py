@@ -1,0 +1,156 @@
+"""Real-model validation — pre-staged so it is ONE command when weights land.
+
+This environment has zero network egress and no model weights mounted, so
+these tests SKIP today. To run them, mount HF model folders (config.json +
+*.safetensors + tokenizer.json/tokenizer_config.json) under any of:
+
+    $KOIFISH_WEIGHTS   (preferred — point it at a directory of models)
+    /root/models       /root/weights      /root/repo/Models
+
+with folder names containing the usual model ids (qwen3-0.6b, qwen3-4b,
+qwen3-4b-awq, gpt2, ...). Then:
+
+    python -m pytest tests/test_real_model.py -v
+
+Goldens mirror the reference's own acceptance tests (cases/test_lite.py:
+36-53): the Qwen3 "hello" greeting, the Sally-riddle "Answer: 1", the AWQ
+checkpoint, plus an int4-vs-fp16 perplexity delta <= 0.1 (the BASELINE.json
+quality bar) and a chat-template byte-parity check of our jinja engine
+against transformers' renderer.
+
+Chat tests for >=4B params run through the bubble CLI in a SUBPROCESS on
+the default (TPU) backend — the in-process suite is pinned to CPU by
+conftest, where a 4B forward is unusably slow.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+_CANDIDATE_ROOTS = [os.environ.get("KOIFISH_WEIGHTS", ""),
+                    "/root/models", "/root/weights", "/root/repo/Models"]
+
+
+def _find_model(*hints, exclude=()):
+    """First model dir whose name contains every hint (case-insensitive)."""
+    for root in _CANDIDATE_ROOTS:
+        if not root or not os.path.isdir(root):
+            continue
+        for name in sorted(os.listdir(root)):
+            d = os.path.join(root, name)
+            low = name.lower()
+            if not os.path.isfile(os.path.join(d, "config.json")):
+                continue
+            if all(h in low for h in hints) and \
+                    not any(x in low for x in exclude):
+                return d
+    return None
+
+
+def _require(*hints, exclude=()):
+    d = _find_model(*hints, exclude=exclude)
+    if d is None:
+        pytest.skip(f"no model matching {hints} mounted "
+                    f"(see module docstring: mount under $KOIFISH_WEIGHTS)")
+    return d
+
+
+def _bubble(model_dir, prompt, *extra, timeout=1800):
+    """Chat via the bubble CLI on the DEFAULT backend (TPU when present)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "koifish_tpu.cli.bubble", "--hf", model_dir,
+         "--prompts", prompt, "--temperature", "0", *extra],
+        capture_output=True, text=True, timeout=timeout, cwd="/root/repo",
+        env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    return r.stdout
+
+
+def test_qwen3_small_chat_hello():
+    """Reference golden: Qwen3-0.6B greets (cases/test_lite.py:36-38)."""
+    d = _require("qwen3", "0.6b", exclude=("awq",))
+    out = _bubble(d, "hello")
+    assert "Hello! How can I assist you today?" in out, out[-2000:]
+
+
+def test_qwen3_4b_sally_riddle():
+    """Reference golden: Sally has 1 sister (cases/test_lite.py:40-43)."""
+    d = _require("qwen3", "4b", exclude=("awq",))
+    out = _bubble(d, "Sally (a girl) has 3 brothers. Each brother has "
+                  "2 sisters. How many sisters does Sally have?",
+                  "--max-new", "2048")
+    assert any(s in out for s in ("Answer: \\boxed{1}", "Answer: 1",
+                                  "Answer:1", "answer:1")), out[-2000:]
+
+
+def test_qwen3_awq_sally_riddle():
+    """Reference golden: the vendor-AWQ checkpoint answers too
+    (cases/test_lite.py:51-53; AWQ unpack path quant/awq.py)."""
+    d = _require("qwen3", "awq")
+    out = _bubble(d, "Sally (a girl) has 3 brothers. Each brother has "
+                  "2 sisters. How many sisters does Sally have?",
+                  "--max-new", "2048")
+    assert any(s in out for s in ("Answer: \\boxed{1}", "Answer: 1",
+                                  "Answer:1", "answer:1")), out[-2000:]
+
+
+def test_chat_template_matches_transformers():
+    """Our jinja engine renders the model's REAL chat template
+    byte-identically to transformers' renderer."""
+    d = _require("qwen3", exclude=("awq",))
+    transformers = pytest.importorskip("transformers")
+    from koifish_tpu.data import render
+    msgs = [{"role": "user", "content": "hello"},
+            {"role": "assistant", "content": "Hi! How can I help?"},
+            {"role": "user", "content": "Count to 3."}]
+    tok = transformers.AutoTokenizer.from_pretrained(d)
+    want = tok.apply_chat_template(msgs, tokenize=False,
+                                   add_generation_prompt=True,
+                                   enable_thinking=False)
+    got = render(msgs, d, "QWEN3", add_generation_prompt=True,
+                 enable_thinking=False)
+    assert got == want
+
+
+def _text_batches(model_dir, n_batches=8, ctx=256):
+    """Deterministic ppl corpus: this repo's own docs, tokenized with the
+    model's tokenizer (no external data needed)."""
+    import jax.numpy as jnp
+    from koifish_tpu.data import BPETokenizer
+    text = ""
+    for p in ("README.md", "SURVEY.md", "docs/DESIGN.md", "PARITY.md"):
+        fp = os.path.join("/root/repo", p)
+        if os.path.exists(fp):
+            with open(fp, encoding="utf-8") as f:
+                text += f.read() + "\n\n"
+    ids = BPETokenizer.from_file(model_dir).encode(text)
+    need = n_batches * (ctx + 1)
+    assert len(ids) >= need, f"corpus too small: {len(ids)} < {need}"
+    for i in range(n_batches):
+        chunk = ids[i * (ctx + 1):(i + 1) * (ctx + 1)]
+        yield {"tokens": jnp.asarray([[chunk]], jnp.int32)[0]}
+
+
+def test_int4_ppl_delta_vs_fp16():
+    """INT4 weight-only (g=128, the reference default GroupShapeOfT
+    GeQuant.cpp:375) costs <= 0.1 ppl vs the fp16 model — BASELINE.json's
+    quality bar. Runs the smallest mounted qwen3/gpt2 model on CPU."""
+    d = _find_model("qwen3", "0.6b", exclude=("awq",)) or \
+        _find_model("gpt2") or _find_model("qwen")
+    if d is None:
+        pytest.skip("no small model mounted")
+    from koifish_tpu.config import QuantCard
+    from koifish_tpu.evaluate import perplexity
+    from koifish_tpu.io import load_hf_model
+    from koifish_tpu.quant.apply import quantize_params
+
+    card, params = load_hf_model(d)
+    _, ppl_fp = perplexity(card, params, _text_batches(d))
+    qc = QuantCard.from_json({"self_attn": {"bits": 4}, "mlp": {"bits": 4},
+                              "group_size": 128})
+    qparams = quantize_params(params, qc, card)
+    _, ppl_q = perplexity(card, qparams, _text_batches(d))
+    assert ppl_q - ppl_fp <= 0.1, (ppl_fp, ppl_q)
