@@ -322,7 +322,14 @@ class QuantCard:
                 continue
             method = spec.get("quant_method", "RTN").upper()
             nf = method in ("RTNF", "NF", "CLUSTER", "KMEANS")
-            fmt = qformat_from_bits(int(spec["bits"]), nf=nf)
+            if method in ("F8EX", "F8E5M2"):
+                # reference F8Ex casts weights to e5m2 (QUANT_MODE::F8Ex,
+                # CLI_params.hpp:484; f8e5 cast kernels operator.cuh:519)
+                fmt = QFormat.F8_E5M2
+            elif method == "F8E4M3":
+                fmt = QFormat.F8_E4M3
+            else:
+                fmt = qformat_from_bits(int(spec["bits"]), nf=nf)
             card.rules.append(QuantRule(
                 pattern=name, fmt=fmt,
                 group=int(spec.get("group_size", group)),
@@ -358,7 +365,8 @@ class TrainCard:
     lr: float = 6e-4
     lr_min_ratio: float = 0.1
     warmup: int = 700
-    scheduler: str = "cosine"        # static | cosine | wsd | tri_line
+    scheduler: str = "cosine"   # static | cosine | cosine_epoch | wsd | tri_line
+    epoch_iters: int = 0        # cosine_epoch restart period (nEpochIter)
     optimizer: str = "adamw"         # adamw | muon | lion | sgd
     weight_decay: float = 0.1
     beta1: float = 0.9
@@ -409,6 +417,10 @@ class TrainCard:
             card.scheduler = sched
         elif isinstance(sched, dict) and "type" in sched:
             card.scheduler = str(sched["type"]).lower()
+        if isinstance(sched, dict):
+            card.epoch_iters = int(sched.get("epoch_iters", card.epoch_iters))
+        if card.scheduler in ("lr_restart", "cosine_restart"):
+            card.scheduler = "cosine_epoch"   # reference lr_restart=1 alias
         if debug:
             card.most_iter = int(debug.get("most_iter", card.most_iter))
             card.nn_structure = bool(debug.get("nn_structure",
@@ -453,6 +465,11 @@ class SamplerCard:
     min_p: float = 0.0
     max_new_tokens: int = 256
     seed: int = 42
+    # opt-in approximate top-k (jax.lax.approx_max_k, recall ~0.95): ~10x
+    # faster than the exact sort on a 152k vocab but silently changes the
+    # sampled distribution vs the reference's exact top-k heap
+    # (GoPT.hpp:86-88) — default is EXACT
+    approx_top_k: bool = False
 
 
 @dataclasses.dataclass

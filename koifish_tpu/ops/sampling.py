@@ -19,14 +19,17 @@ def sample_logits(
     top_k: int = 50,
     top_p: float = 0.95,
     min_p: float = 0.0,
-    approx: bool = True,
+    approx: bool = False,
 ) -> jax.Array:
     """Returns sampled token ids [B]. temperature<=0 → greedy.
 
     ``approx``: use ``jax.lax.approx_max_k`` for the top-k cut (TPU
     in-register partial reduction, ~10x faster than the exact sort on a
-    152k vocab — it was 10% of the Qwen3 decode step). Recall ≥ the
-    default 0.95 target on the top-50; set False for exact sampling."""
+    152k vocab — it was 10% of the Qwen3 decode step) — recall ~0.95 on
+    the top-50, which silently changes the sampled distribution vs the
+    reference's exact top-k heap (GoPT.hpp:86-88). Default EXACT;
+    opt in per request via SamplerCard.approx_top_k / bubble
+    --approx-topk."""
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -65,7 +68,7 @@ def filtered_probs(
     top_k: int = 50,
     top_p: float = 0.95,
     min_p: float = 0.0,
-    approx: bool = True,
+    approx: bool = False,
 ) -> jax.Array:
     """The DENSE [B, V] probability distribution ``sample_logits`` draws
     from (temperature + top-k/top-p/min-p filtering, renormalized).

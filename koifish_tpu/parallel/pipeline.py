@@ -227,7 +227,8 @@ def make_pp_train_step(card: ModelCard, tcard, mesh: Mesh, n_micro: int,
             loss, grads = jax.value_and_grad(loss_fn)(params)
         lr = lr_at(opt.step, kind=tcard.scheduler, base_lr=tcard.lr,
                    total_steps=total_steps, warmup=tcard.warmup,
-                   min_ratio=tcard.lr_min_ratio)
+                   min_ratio=tcard.lr_min_ratio,
+                   epoch_steps=getattr(tcard, "epoch_iters", 0))
         params, opt, metrics = apply_updates(
             params, grads, opt, optimizer=tcard.optimizer, lr=lr,
             beta1=tcard.beta1, beta2=tcard.beta2, eps=tcard.eps,

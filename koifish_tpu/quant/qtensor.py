@@ -122,7 +122,9 @@ class QTensor:
         """
         fmt = self.fmt
         n_in = self.shape[0]
-        if fmt is QFormat.INT8:
+        if fmt in (QFormat.INT8, QFormat.F8_E5M2, QFormat.F8_E4M3):
+            # byte-wide codes stored unpacked [in, out] (fp8: the F8Ex
+            # analog — XLA fuses the f32 upcast + scale into the dot)
             codes = self.codes.astype(jnp.float32)
         else:
             raw = unpack_codes(self.codes, fmt, n_in, group=self.group)

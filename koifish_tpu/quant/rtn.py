@@ -45,6 +45,19 @@ def quantize(
     w2 = w.reshape(w.shape[0], -1).astype(jnp.float32)
     g = _grouped(w2, group)                      # [G, group, out]
 
+    if fmt in (QFormat.F8_E5M2, QFormat.F8_E4M3):
+        # F8Ex analog (reference QUANT_MODE::F8Ex, CLI_params.hpp:484;
+        # CU_Float2F8 operator.cuh:519-535). The reference casts raw
+        # bf16 -> e5m2; we add per-group absmax scaling into the fp8
+        # dynamic range first — strictly tighter than the raw cast and
+        # the same shape XLA consumes for fp8 dots (scale epilogue).
+        fmax = float(jnp.finfo(fmt.jnp_dtype).max)
+        absmax = jnp.max(jnp.abs(g), axis=1)
+        scale = jnp.maximum(absmax / fmax, 1e-12)
+        codes = (g / scale[:, None, :]).astype(fmt.jnp_dtype)
+        return QTensor(codes=codes.reshape(w2.shape),
+                       scales=scale.astype(scale_dtype), zeros=None,
+                       fmt=fmt, shape=orig_shape, group=group)
     if fmt in (QFormat.NF4, QFormat.NF3):
         absmax = jnp.max(jnp.abs(g), axis=1)     # [G, out]
         scale = jnp.maximum(absmax, 1e-12)

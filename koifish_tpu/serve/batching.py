@@ -184,7 +184,8 @@ class ContinuousBatcher:
             self.rng, sub = jax.random.split(self.rng)
             tok = sample_logits(sub, logits, self.sampler.temperature,
                                 self.sampler.top_k, self.sampler.top_p,
-                                self.sampler.min_p)
+                                self.sampler.min_p,
+                                getattr(self.sampler, "approx_top_k", False))
             req.ttft_s = time.perf_counter() - t0
             req.tokens.append(int(tok[0]))
             self.cur_tok = self.cur_tok.at[slot].set(tok[0])

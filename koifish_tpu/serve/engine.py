@@ -182,7 +182,8 @@ def _jit_decode_sample(card, params, token, cache, rng, sampler):
     logits, cache = decode_step(card, params, token, cache)
     rng, sub = jax.random.split(rng)
     nxt = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
-                        sampler.top_p, sampler.min_p)
+                        sampler.top_p, sampler.min_p,
+                        getattr(sampler, 'approx_top_k', False))
     return nxt, cache, rng
 
 
@@ -193,7 +194,8 @@ def _jit_decode_sample_layered(card, params, token, lc, rng, sampler):
     logits, lc = decode_step_layered(card, params, token, lc)
     rng, sub = jax.random.split(rng)
     nxt = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
-                        sampler.top_p, sampler.min_p)
+                        sampler.top_p, sampler.min_p,
+                        getattr(sampler, 'approx_top_k', False))
     return nxt, lc, rng
 
 
@@ -209,7 +211,8 @@ def _jit_decode_sample_layered_k(card, params, token, lc, rng, sampler, k):
         logits, lc = decode_step_layered(card, params, tok, lc)
         rng, sub = jax.random.split(rng)
         tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
-                            sampler.top_p, sampler.min_p)
+                            sampler.top_p, sampler.min_p,
+                        getattr(sampler, 'approx_top_k', False))
         return (tok, lc, rng), tok
 
     (token, lc, rng), toks = jax.lax.scan(
@@ -230,7 +233,8 @@ def _jit_decode_probs_k(card, params, token, lc, rng, sampler, k):
         tok, lc, rng = carry
         logits, lc = decode_step_layered(card, params, tok, lc)
         q = filtered_probs(logits, sampler.temperature, sampler.top_k,
-                           sampler.top_p, sampler.min_p)
+                           sampler.top_p, sampler.min_p,
+                        getattr(sampler, 'approx_top_k', False))
         rng, sub = jax.random.split(rng)
         tok = jax.random.categorical(
             sub, jnp.log(jnp.maximum(q, 1e-30)), axis=-1).astype(jnp.int32)
@@ -262,7 +266,8 @@ def _jit_decode_sample_k(card, params, token, cache, rng, sampler, k):
         logits, cache = decode_step(card, params, tok, cache)
         rng, sub = jax.random.split(rng)
         tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
-                            sampler.top_p, sampler.min_p)
+                            sampler.top_p, sampler.min_p,
+                        getattr(sampler, 'approx_top_k', False))
         return (tok, cache, rng), tok
 
     (token, cache, rng), toks = jax.lax.scan(
@@ -296,7 +301,8 @@ def generate(
     logits, cache = _jit_prefill(card, params, prompt, cache, fresh=fresh)
     rng, sub = jax.random.split(rng)
     tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
-                        sampler.top_p, sampler.min_p)
+                        sampler.top_p, sampler.min_p,
+                        getattr(sampler, 'approx_top_k', False))
     out = [tok]
     done = tok == eos_id
     # per-layer cache leaves for the token loop (serve/layered.py): the

@@ -171,7 +171,8 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
 
         lr = lr_at(state.opt.step, kind=tcard.scheduler, base_lr=tcard.lr,
                    total_steps=total_steps, warmup=tcard.warmup,
-                   min_ratio=tcard.lr_min_ratio)
+                   min_ratio=tcard.lr_min_ratio,
+                   epoch_steps=tcard.epoch_iters)
         params, opt, metrics = apply_updates(
             state.params, grads, state.opt, optimizer=tcard.optimizer, lr=lr,
             beta1=tcard.beta1, beta2=tcard.beta2, eps=tcard.eps,

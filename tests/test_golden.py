@@ -117,3 +117,25 @@ def test_fused_ce_golden_losses():
     _, losses = _run(card, 8)
     _check(losses[0], 11.105453491210938)
     _check(losses[7], 8.008091926574707)
+
+
+def test_cosine_epoch_schedule_restarts():
+    """COSINE_EPOCH: the whole schedule (incl. warmup) repeats every
+    epoch_steps (LearnSKDU COSINE_EPOCH: step %= mostIter=nEpochIter,
+    Scheduler.hpp:62-64, Scheduler.cpp:24-26)."""
+    import numpy as np
+    from koifish_tpu.train.schedule import lr_at
+
+    kw = dict(kind="cosine_epoch", base_lr=1e-3, total_steps=1000,
+              warmup=10, min_ratio=0.01, epoch_steps=100)
+    xs = np.array([float(lr_at(s, **kw)) for s in range(250)])
+    # periodic with period 100
+    np.testing.assert_allclose(xs[:100], xs[100:200], rtol=1e-6)
+    # warmup ramps from ~0 each epoch; peak right after warmup
+    assert xs[0] < 1e-4 and xs[100] < 1e-4
+    assert abs(xs[10] - 1e-3) / 1e-3 < 1e-5
+    # plain cosine does NOT restart
+    ys = np.array([float(lr_at(s, kind="cosine", base_lr=1e-3,
+                               total_steps=1000, warmup=10,
+                               min_ratio=0.01)) for s in range(250)])
+    assert ys[100] > ys[150] > ys[249]

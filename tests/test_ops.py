@@ -134,3 +134,39 @@ def test_int8_fused_ce_loss_parity():
 
     bf, q8 = run(False), run(True)
     assert max(abs(a - b) / a for a, b in zip(bf, q8)) < 0.02
+
+
+def test_topk_sampling_exact_by_default_and_approx_divergence():
+    """The sampler default is EXACT lax.top_k (matches the reference's
+    exact top-k heap, GoPT.hpp:86-88); approx_max_k is opt-in and its
+    distribution divergence from exact is pinned here (it trades ~0.95
+    recall for ~10x speed on large vocabs)."""
+    import inspect
+    import numpy as np
+    from koifish_tpu.ops.sampling import filtered_probs, sample_logits
+
+    assert inspect.signature(sample_logits).parameters["approx"].default \
+        is False
+    assert inspect.signature(filtered_probs).parameters["approx"].default \
+        is False
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (4, 8192),
+                               jnp.float32) * 3.0
+    exact = np.asarray(filtered_probs(logits, 0.8, 50, 0.95))
+    # exact path == dense numpy oracle
+    lf = np.asarray(logits, np.float64) / 0.8
+    for b in range(4):
+        order = np.argsort(lf[b])[::-1]
+        kept = lf[b][order[:50]]
+        p = np.exp(kept - kept.max()); p /= p.sum()
+        cum = np.cumsum(p)
+        keep = (cum - p) < 0.95
+        pk = np.where(keep, p, 0.0); pk /= pk.sum()
+        dense = np.zeros(8192); dense[order[:50]] = pk
+        np.testing.assert_allclose(exact[b], dense, atol=2e-5)
+
+    approx = np.asarray(filtered_probs(logits, 0.8, 50, 0.95, approx=True))
+    tvd = 0.5 * np.abs(exact - approx).sum(-1)
+    # approx recall ~0.95 -> small but NONZERO divergence; pin the band so
+    # a silent default flip in either direction fails this test
+    assert tvd.max() < 0.25, tvd

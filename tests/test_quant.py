@@ -158,3 +158,56 @@ def test_sinkhorn_quantization_matmul():
     ref = jnp.dot(x.astype(jnp.float32), qs.dequantize(jnp.float32))
     rel = float(jnp.abs(y - ref).max() / (jnp.abs(ref).max() + 1e-9))
     assert rel < 0.05, rel
+
+
+def test_f8_weight_format_roundtrip_and_matmul():
+    """F8Ex analog (QUANT_MODE::F8Ex CLI_params.hpp:484, fp8 cast kernels
+    operator.cuh:519-571): e5m2/e4m3 weights with per-group scales
+    round-trip through quantize -> dequant/matmul within fp8 precision."""
+    import jax
+    from koifish_tpu.dtypes import QFormat
+    from koifish_tpu.ops.matmul import qmatmul
+    from koifish_tpu.quant.rtn import quantize
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 128),
+                          jnp.float32) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 256), jnp.bfloat16)
+    for fmt, tol in ((QFormat.F8_E4M3, 0.04), (QFormat.F8_E5M2, 0.13)):
+        qt = quantize(w, fmt, group=128)
+        assert qt.codes.dtype == fmt.jnp_dtype
+        wd = qt.dequantize(jnp.float32)
+        rel = float(jnp.linalg.norm(wd - w) / jnp.linalg.norm(w))
+        assert rel < tol, (fmt, rel)
+        y = qmatmul(x, qt)
+        yr = jnp.dot(x.astype(jnp.float32), w)
+        mrel = float(jnp.linalg.norm(y.astype(jnp.float32) - yr)
+                     / jnp.linalg.norm(yr))
+        assert mrel < tol, (fmt, mrel)
+
+
+def test_f8ex_quant_card_method():
+    """quant_method F8Ex in a reference-style quantizer config selects the
+    fp8 weight format end-to-end through quantize_params."""
+    import jax
+    from koifish_tpu.config import ModelCard, QuantCard
+    from koifish_tpu.dtypes import QFormat
+    from koifish_tpu.models import init_params, model_forward
+    from koifish_tpu.quant.apply import quantize_params
+    from koifish_tpu.quant.qtensor import QTensor
+
+    qc = QuantCard.from_json({"self_attn": {"bits": 8, "quant_method": "F8Ex"},
+                              "mlp": {"bits": 8, "quant_method": "F8Ex"}})
+    assert qc.rules[0].fmt is QFormat.F8_E5M2
+    card = ModelCard.from_arch("QWEN3", vocab_size=128, n_layer=2, n_embd=128,
+                               n_head=4, n_kv_head=2, head_dim=32, n_ffn=256,
+                               n_ctx=32, max_pos=64)
+    params = init_params(card, jax.random.PRNGKey(0))
+    qp = quantize_params(params, qc, card)
+    qkinds = {lp["q"].fmt for lp in qp["layers"]
+              if isinstance(lp["q"], QTensor)}
+    assert qkinds == {QFormat.F8_E5M2}
+    toks = jnp.zeros((1, 8), jnp.int32)
+    ref = model_forward(card, params, toks).astype(jnp.float32)
+    out = model_forward(card, qp, toks).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.15, rel
