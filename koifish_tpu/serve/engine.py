@@ -35,6 +35,21 @@ def _rope_tables(card: ModelCard):
                       card.rope_scaling_dict())
 
 
+def _decode_rope(card: ModelCard, positions: jax.Array):
+    """Decode-path rope: (cos, sin, inv_freq) with cos/sin evaluated
+    DIRECTLY at the (unclamped) positions [B, 1] — no table, so angles
+    keep advancing past max_pos — plus the raw inv_freq that drives the
+    per-step sink re-rope (kvcache.rotate_sink_keys_layer)."""
+    if card.pos_embed != "rope":
+        return None, None, None
+    from koifish_tpu.ops.rope import rope_cos_sin_at, rope_inv_freq
+    cos, sin = rope_cos_sin_at(card.head_dim, positions, card.rope_theta,
+                               card.rope_scaling_dict())
+    inv_freq, _ = rope_inv_freq(card.head_dim, card.rope_theta,
+                                card.rope_scaling_dict())
+    return cos, sin, inv_freq
+
+
 def prefill(card: ModelCard, params: Params, tokens: jax.Array,
             cache: KVCache, return_all_logits: bool = False,
             fresh: bool = False,
@@ -99,20 +114,35 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
         from koifish_tpu.serve.stacked import decode_step_stacked
         return decode_step_stacked(card, params, token, cache)
     B = token.shape[0]
-    positions = jnp.minimum(cache.pos, card.max_pos - 1)[:, None]  # [B, 1]
-    cos, sin = _rope_tables(card)
+    # UNCLAMPED positions: rope cos/sin evaluated directly (not a table
+    # lookup) so angles keep advancing past max_pos — streaming past the
+    # window keeps exact relative distances to the ring-buffer keys, and
+    # the sinks are re-roped forward per step (write_token below; the
+    # reference's kernel_rotate_sink, operator.cuh:89)
+    if card.attn == "mla":
+        # MLA ropes inside mla_qkv from table positions — keep the
+        # clamped path (streaming past the window: standard attn only)
+        positions = jnp.minimum(cache.pos, card.max_pos - 1)[:, None]
+        cos, sin = _rope_tables(card)
+        inv_freq, rope_pos = None, positions
+    else:
+        positions = cache.pos[:, None]                         # [B, 1]
+        cos, sin, inv_freq = _decode_rope(card, positions)
+        rope_pos = None
 
     x = gather_embed(params["wte"], token[:, None])   # [B, 1, E]
     if card.pos_embed == "learned":
-        x = x + jnp.take(params["wpe"], positions[:, 0], axis=0)[:, None]
+        wpe_pos = jnp.minimum(positions[:, 0], card.max_pos - 1)
+        x = x + jnp.take(params["wpe"], wpe_pos, axis=0)[:, None]
 
     from koifish_tpu.dtypes import QFormat
     from koifish_tpu.ops.pallas.decode_attn import decode_attention_int8_or_none
     att_scale = 1.0 / (card.head_dim ** 0.5)
     for li, lp in enumerate(params["layers"]):
         h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
-        q, k, v = qkv_project(card, lp, h, cos, sin, positions)
-        cache = kvc.write_token(cache, li, k[:, 0], v[:, 0])
+        q, k, v = qkv_project(card, lp, h, cos, sin, rope_pos)
+        cache = kvc.write_token(cache, li, k[:, 0], v[:, 0],
+                                rope_inv_freq=inv_freq)
         a = None
         if cache.fmt in (QFormat.INT8, QFormat.INT4):
             # fused kernel reads INT8/packed-INT4 codes directly (1/2 or

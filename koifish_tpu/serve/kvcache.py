@@ -153,11 +153,64 @@ def advance(cache: KVCache, n) -> KVCache:
     return dataclasses.replace(cache, pos=cache.pos + n)
 
 
+def _rotate_half_step(kf: jax.Array, inv_freq: jax.Array,
+                      steps: float = 1.0) -> jax.Array:
+    """Rotate roped keys forward by ``steps`` rope positions (rotate-half
+    pairing). Pure rotation — preserves any YaRN attn_scale amplitude."""
+    half = kf.shape[-1] // 2
+    ang = inv_freq * steps
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = kf[..., :half], kf[..., half:]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+def rotate_sink_keys_layer(k_l: jax.Array, k_scale_l, fmt: QFormat,
+                           sinks: int, mask: jax.Array, inv_freq: jax.Array):
+    """StreamingLLM sink re-rope (the reference's ``kernel_rotate_sink``,
+    operator.cuh:89): once the ring wraps, rotate the pinned sink keys
+    forward ONE rope position per generated token so the query→sink
+    relative distance stays bounded at ~window instead of growing without
+    limit. k_l: [B, H, S, Dc] one layer's key cache; mask: [B] rows in
+    the streaming regime (pos >= size). Quantized caches rotate through
+    dequant→rotate→requant — same in-place policy as the reference, one
+    requantization's noise per step."""
+    if sinks <= 0 or fmt is QFormat.QJL or inv_freq is None:
+        # QJL keys live as sign-of-projection sketches — a rope rotation
+        # is not representable there; streaming past the window keeps
+        # absolute angles (documented limitation of the research mode)
+        return k_l, k_scale_l
+    sl = k_l[:, :, :sinks]                                   # [B, H, sinks, Dc]
+    m = mask[:, None, None, None]
+    if fmt is QFormat.BF16:
+        rot = _rotate_half_step(sl.astype(jnp.float32), inv_freq)
+        new = jnp.where(m, rot.astype(k_l.dtype), sl)
+        return k_l.at[:, :, :sinks].set(new), k_scale_l
+    ssc = k_scale_l[:, :, :sinks]                            # [B, H, sinks]
+    codes = _unpack_int4(sl) if fmt is QFormat.INT4 else sl
+    kf = codes.astype(jnp.float32) * ssc[..., None]
+    q, sc = _quant_kv(_rotate_half_step(kf, inv_freq), fmt)
+    new_k = jnp.where(m, q, sl)
+    new_s = jnp.where(mask[:, None, None], sc, ssc)
+    return (k_l.at[:, :, :sinks].set(new_k),
+            k_scale_l.at[:, :, :sinks].set(new_s))
+
+
 def write_token(cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
-                ) -> KVCache:
+                rope_inv_freq=None) -> KVCache:
     """Write one token's K/V ([B, H, D]) for ``layer`` at each sequence's
-    current position. Does NOT advance ``pos`` — call :func:`advance`."""
+    current position. Does NOT advance ``pos`` — call :func:`advance`.
+    ``rope_inv_freq`` enables the StreamingLLM sink re-rope for rows past
+    the window (see :func:`rotate_sink_keys_layer`)."""
     slots = ring_slot(cache.pos, cache.size, cache.sinks)      # [B]
+    if rope_inv_freq is not None:
+        k_l, ks_l = rotate_sink_keys_layer(
+            cache.k[layer], None if cache.k_scale is None
+            else cache.k_scale[layer], cache.fmt, cache.sinks,
+            cache.pos >= cache.size, rope_inv_freq)
+        k_all = cache.k.at[layer].set(k_l)
+        ks_all = (cache.k_scale if ks_l is None
+                  else cache.k_scale.at[layer].set(ks_l))
+        cache = dataclasses.replace(cache, k=k_all, k_scale=ks_all)
 
     def upd(buf, val):
         # buf[layer] is [B, H, S, ...] — masked ring write (scatter-free)

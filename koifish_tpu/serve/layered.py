@@ -97,13 +97,23 @@ def decode_step_layered(card: ModelCard, params: Params, token: jax.Array,
     """One decode step over per-layer cache leaves: token [B] -> logits
     [B, V]. Params may be the plain per-layer-list pytree (no stacking
     needed — the layer loop is unrolled)."""
-    from koifish_tpu.serve.engine import _rope_tables
+    from koifish_tpu.serve.engine import _decode_rope, _rope_tables
     B = token.shape[0]
-    positions = jnp.minimum(lc.pos, card.max_pos - 1)[:, None]
-    cos, sin = _rope_tables(card)
+    if card.attn == "mla":
+        positions = jnp.minimum(lc.pos, card.max_pos - 1)[:, None]
+        cos, sin = _rope_tables(card)
+        inv_freq, rope_pos = None, positions
+    else:
+        # unclamped positions + direct rope + per-step sink re-rope: see
+        # engine.decode_step (streaming past the window)
+        positions = lc.pos[:, None]
+        cos, sin, inv_freq = _decode_rope(card, positions)
+        rope_pos = None
+    stream_rows = lc.pos >= lc.size                         # [B]
     x = gather_embed(params["wte"], token[:, None])
     if card.pos_embed == "learned":
-        x = x + jnp.take(params["wpe"], positions[:, 0], axis=0)[:, None]
+        wpe_pos = jnp.minimum(positions[:, 0], card.max_pos - 1)
+        x = x + jnp.take(params["wpe"], wpe_pos, axis=0)[:, None]
 
     slots = kvc.ring_slot(lc.pos, lc.size, lc.sinks)        # [B]
     lengths = jnp.minimum(lc.pos + 1, lc.size)
@@ -120,8 +130,14 @@ def decode_step_layered(card: ModelCard, params: Params, token: jax.Array,
                   for li in range(card.n_layer)]
     for li, lp in enumerate(layers):
         kl, vl = lc.k[li], lc.v[li]
+        ksl_in = lc.k_scale[li] if quant else None
+        if inv_freq is not None and lc.fmt is not QFormat.QJL:
+            kl, ksl_rot = kvc.rotate_sink_keys_layer(
+                kl, ksl_in, lc.fmt, lc.sinks, stream_rows, inv_freq)
+        else:
+            ksl_rot = ksl_in
         h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
-        q, k, v = qkv_project(card, lp, h, cos, sin, positions)
+        q, k, v = qkv_project(card, lp, h, cos, sin, rope_pos)
         k1, v1 = k[:, 0], v[:, 0]                           # [B, H, D]
         a = None
         if lc.fmt is QFormat.QJL:
@@ -134,7 +150,7 @@ def decode_step_layered(card: ModelCard, params: Params, token: jax.Array,
             vq, vsc = kvc._quant_kv(v1, QFormat.INT8)
             kl = _write(kl, kq, slots, lc.uniform)
             vl = _write(vl, vq, slots, lc.uniform)
-            ksl = _write(lc.k_scale[li], knorm, slots, lc.uniform)
+            ksl = _write(ksl_rot, knorm, slots, lc.uniform)
             vsl = _write(lc.v_scale[li], vsc, slots, lc.uniform)
             ks_out.append(ksl); vs_out.append(vsl)
             vlf = (vl.astype(jnp.float32) * vsl[..., None]
@@ -146,7 +162,7 @@ def decode_step_layered(card: ModelCard, params: Params, token: jax.Array,
             vq, vsc = kvc._quant_kv(v1, lc.fmt)
             kl = _write(kl, kq, slots, lc.uniform)
             vl = _write(vl, vq, slots, lc.uniform)
-            ksl = _write(lc.k_scale[li], ksc, slots, lc.uniform)
+            ksl = _write(ksl_rot, ksc, slots, lc.uniform)
             vsl = _write(lc.v_scale[li], vsc, slots, lc.uniform)
             ks_out.append(ksl); vs_out.append(vsl)
             if lc.fmt in (QFormat.INT8, QFormat.INT4):

@@ -50,16 +50,27 @@ def decode_step_stacked(card: ModelCard, sparams: Params, token: jax.Array,
                         cache: KVCache) -> Tuple[jax.Array, KVCache]:
     """One decode step with a lax.scan over the stacked layer axis."""
     B = token.shape[0]
-    positions = jnp.minimum(cache.pos, card.max_pos - 1)[:, None]
-    cos, sin = _rope_tables(card)
+    if card.attn == "mla":
+        positions = jnp.minimum(cache.pos, card.max_pos - 1)[:, None]
+        cos, sin = _rope_tables(card)
+        inv_freq, rope_pos = None, positions
+    else:
+        # unclamped positions + direct rope + per-step sink re-rope: see
+        # engine.decode_step (streaming past the window)
+        from koifish_tpu.serve.engine import _decode_rope
+        positions = cache.pos[:, None]
+        cos, sin, inv_freq = _decode_rope(card, positions)
+        rope_pos = None
     x = gather_embed(sparams["wte"], token[:, None])
     if card.pos_embed == "learned":
-        x = x + jnp.take(sparams["wpe"], positions[:, 0], axis=0)[:, None]
+        wpe_pos = jnp.minimum(positions[:, 0], card.max_pos - 1)
+        x = x + jnp.take(sparams["wpe"], wpe_pos, axis=0)[:, None]
 
     slots = kvc.ring_slot(cache.pos, cache.size, cache.sinks)   # [B]
     valid = jnp.arange(cache.size)[None, :] < jnp.minimum(
         cache.pos + 1, cache.size)[:, None]
     quant_kv = cache.fmt is not QFormat.BF16
+    stream_rows = cache.pos >= cache.size                       # [B]
 
     def body(x, layer_in):
         if quant_kv:
@@ -67,8 +78,11 @@ def decode_step_stacked(card: ModelCard, sparams: Params, token: jax.Array,
         else:
             lp, kl, vl = layer_in
             ksl = vsl = None
+        if inv_freq is not None:
+            kl, ksl = kvc.rotate_sink_keys_layer(
+                kl, ksl, cache.fmt, cache.sinks, stream_rows, inv_freq)
         h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
-        q, k, v = qkv_project(card, lp, h, cos, sin, positions)
+        q, k, v = qkv_project(card, lp, h, cos, sin, rope_pos)
         k1, v1 = k[:, 0], v[:, 0]                   # [B, H, D]
         a = None
         if quant_kv:
