@@ -158,6 +158,10 @@ class ModelCard:
     n_experts: int = 0
     n_experts_active: int = 0
     moe_ffn: int = 0
+    # hybrid backbone (J2Neuron interleaved arrangements): when non-empty,
+    # ONLY these layer indices get the MoE FFN; the rest stay dense.
+    # () + n_experts>0 = every layer MoE (the plain *_MOE arch)
+    moe_layers: tuple = ()
     # MLA (DeepSeek family; attn="mla")
     attn: str = "std"
     q_lora_rank: int = 0
@@ -227,6 +231,11 @@ class ModelCard:
             kw["tie_embeddings"] = bool(p["tie_word_embeddings"])
         if "max_pos_embeddings" in p:
             kw["max_pos"] = int(p["max_pos_embeddings"])
+        if "num_experts" in p:
+            kw["n_experts"] = int(p["num_experts"])
+            kw["n_experts_active"] = int(p.get("num_experts_per_tok", 2))
+            kw["moe_ffn"] = int(p.get("moe_intermediate_size",
+                                      t.get("Ffn", 0)))
         card = cls.from_arch(arch, **kw)
         if arch == "GPT2":
             card.vocab_size = int(jmodel.get("vocab_size", 50257))
@@ -238,8 +247,21 @@ class ModelCard:
         # loudly on anything else instead of silently coercing
         bb = jmodel.get("backbone")
         if bb:
-            from koifish_tpu.models.backbone import validate_backbone
-            validate_backbone(bb, card.n_layer)
+            from koifish_tpu.models.backbone import (BackboneError,
+                                                     moe_layer_indices,
+                                                     validate_backbone)
+            layout = validate_backbone(bb, card.n_layer)
+            if layout == "hybrid":
+                # per-layer mixed dense/MoE FFNs — BUILD it (r2 rejected)
+                if card.n_experts <= 0:
+                    raise BackboneError(
+                        "hybrid backbone has MOE layers but the model "
+                        "config sets no experts (parameter.num_experts)")
+                card.moe_layers = moe_layer_indices(bb, card.n_layer)
+            elif layout == "moe" and card.n_experts <= 0:
+                raise BackboneError(
+                    "MoE backbone but no experts configured "
+                    "(parameter.num_experts)")
         return card
 
     @classmethod

@@ -80,22 +80,50 @@ def flatten_backbone(backbone: Dict[str, Any], n_layer: int,
     return out
 
 
+def _layer_ffn_kinds(seq: List[str], n_layer: int):
+    """If ``seq`` is EMBED [QKV (FFN|MOE)]xL NORMAL CLASIFY, return the L
+    per-layer FFN kinds; else None."""
+    if len(seq) != 3 + 2 * n_layer:
+        return None
+    if seq[0] != "EMBED" or seq[-2:] != ["NORMAL", "CLASIFY"]:
+        return None
+    kinds = []
+    for i in range(n_layer):
+        if seq[1 + 2 * i] != "QKV" or seq[2 + 2 * i] not in ("FFN", "MOE"):
+            return None
+        kinds.append(seq[2 + 2 * i])
+    return kinds
+
+
 def validate_backbone(backbone: Dict[str, Any], n_layer: int) -> str:
     """Check the flattened sequence against the decoder layouts this
-    rebuild compiles. Returns the layout name ("decoder" | "moe") or
-    raises BackboneError for arrangements we can't honor."""
+    rebuild compiles. Returns the layout name ("decoder" | "moe" |
+    "hybrid" — per-layer mixed dense/MoE FFNs, the interleaved pattern
+    J2Neuron can assemble, TGraph.cpp:1534-1651) or raises BackboneError
+    for arrangements we can't honor."""
     seq = [t for _, t in flatten_backbone(backbone, n_layer)]
-    std = ["EMBED"] + ["QKV", "FFN"] * n_layer + ["NORMAL", "CLASIFY"]
-    moe = ["EMBED"] + ["QKV", "MOE"] * n_layer + ["NORMAL", "CLASIFY"]
-    if seq == std:
-        return "decoder"
-    if seq == moe:
-        return "moe"
+    kinds = _layer_ffn_kinds(seq, n_layer)
+    if kinds is not None:
+        if all(k == "FFN" for k in kinds):
+            return "decoder"
+        if all(k == "MOE" for k in kinds):
+            return "moe"
+        return "hybrid"
     raise BackboneError(
         "backbone tree does not match a supported layout.\n"
         f"  got ({len(seq)} neurons): {' '.join(seq[:8])}"
         f"{' ...' if len(seq) > 8 else ''}\n"
-        f"  supported: EMBED [QKV FFN]x{n_layer} NORMAL CLASIFY (dense) or "
-        f"[QKV MOE]xL (MoE)\n"
+        f"  supported: EMBED [QKV FFN|MOE]x{n_layer} NORMAL CLASIFY "
+        "(dense / MoE / per-layer hybrid)\n"
         "  Non-standard arrangements (GAU/BROWN/extra neurons) are not "
         "silently coerced — adjust the backbone or extend models/.")
+
+
+def moe_layer_indices(backbone: Dict[str, Any], n_layer: int,
+                      ) -> Tuple[int, ...]:
+    """Layer indices whose FFN is MOE in a hybrid backbone."""
+    seq = [t for _, t in flatten_backbone(backbone, n_layer)]
+    kinds = _layer_ffn_kinds(seq, n_layer)
+    if kinds is None:
+        raise BackboneError("not a layerwise decoder backbone")
+    return tuple(i for i, k in enumerate(kinds) if k == "MOE")

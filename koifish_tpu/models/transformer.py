@@ -103,7 +103,9 @@ def init_params(card: ModelCard, key: jax.Array, dtype=jnp.bfloat16) -> Params:
         if card.qk_norm:
             lp["qn"] = jnp.ones((D,), dtype)
             lp["kn"] = jnp.ones((D,), dtype)
-        if card.n_experts > 0:
+        if card.n_experts > 0 and (not card.moe_layers
+                                   or li in card.moe_layers):
+            # all layers MoE, or only the hybrid backbone's chosen layers
             from koifish_tpu.models.moe import init_moe_layer
             lp.update(init_moe_layer(card, ks[4], dtype))
         elif card.act == "swiglu":

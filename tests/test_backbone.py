@@ -74,3 +74,74 @@ def test_star_repeat_expansion():
         "output": {"CLASIFY": []},
     }
     assert validate_backbone(bb, 2) == "decoder"
+
+
+HYBRID = {
+    "embed_tokens": {"Embedding": []},
+    "dense_a *1": {"self_attn": {"QKV": []}, "mlp": {"FFN": []}},
+    "sparse_a *1": {"self_attn": {"QKV": []}, "mlp": {"MOE": []}},
+    "dense_b *1": {"self_attn": {"QKV": []}, "mlp": {"FFN": []}},
+    "sparse_b *1": {"self_attn": {"QKV": []}, "mlp": {"MOE": []}},
+    "norm": {"Normal": []},
+    "output": {"CLASIFY": []},
+}
+
+HYBRID_JM = {
+    "arch": "QWEN3_MOE", "vocab_size": 128,
+    "parameter": {"Layer": 4, "num_experts": 4, "num_experts_per_tok": 2,
+                  "moe_intermediate_size": 64, "max_pos_embeddings": 64,
+                  "transformer": {"Ctx": 32, "Embed": 64, "Head": 4,
+                                  "KVHead": 2, "head_dim": 16, "Ffn": 128}},
+    "backbone": HYBRID,
+}
+
+
+def test_hybrid_backbone_builds_interleaved_moe():
+    """A non-standard J2Neuron arrangement (alternating dense/MoE FFN
+    layers, TGraph.cpp:1534-1651) is BUILT, not rejected (r2 errored)."""
+    import jax
+    from koifish_tpu.config import ModelCard
+    from koifish_tpu.models import init_params
+    from koifish_tpu.models.backbone import moe_layer_indices
+
+    assert validate_backbone(HYBRID, 4) == "hybrid"
+    assert moe_layer_indices(HYBRID, 4) == (1, 3)
+    card = ModelCard.from_json(HYBRID_JM)
+    assert card.moe_layers == (1, 3)
+    params = init_params(card, jax.random.PRNGKey(0))
+    kinds = ["moe" if "router" in lp else "dense" for lp in params["layers"]]
+    assert kinds == ["dense", "moe", "dense", "moe"]
+
+
+def test_hybrid_backbone_trains_pinned_loss():
+    """The hybrid-backbone model trains; final loss pinned (rel_tol 1e-3,
+    the reference's golden mechanism, cases/test_lite.py:17-34)."""
+    import jax
+    import jax.numpy as jnp
+    import math
+    from koifish_tpu.config import ModelCard, TrainCard
+    from koifish_tpu.train.trainer import init_train_state, make_train_step
+
+    card = ModelCard.from_json(HYBRID_JM)
+    tcard = TrainCard(batch=8, lr=0.01, warmup=3, seed=42)
+    state = init_train_state(card, tcard)
+    step = make_train_step(card, tcard, total_steps=20)
+    key = jax.random.PRNGKey(0)
+    loss = None
+    for _ in range(12):
+        key, k = jax.random.split(key)
+        s = jax.random.randint(k, (8, 1), 0, 64)
+        batch = {"tokens": ((s + jnp.arange(33)[None]) % 64)[None
+                 ].astype(jnp.int32)}
+        state, m = step(state, batch)
+        loss = float(m["loss"])
+    assert math.isclose(loss, 1.1765, rel_tol=1e-3), loss
+
+
+def test_moe_backbone_without_experts_errors():
+    from koifish_tpu.config import ModelCard
+    jm = dict(HYBRID_JM, parameter={
+        "Layer": 4, "max_pos_embeddings": 64,
+        "transformer": HYBRID_JM["parameter"]["transformer"]})
+    with pytest.raises(BackboneError):
+        ModelCard.from_json(jm)
