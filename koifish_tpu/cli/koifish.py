@@ -31,6 +31,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="pipeline stages (GPipe microbatch schedule)")
     ap.add_argument("--n-micro", type=int, default=0,
                     help="pipeline microbatches (default: 2*pp)")
+    ap.add_argument("--pp-schedule", default="1f1b",
+                    choices=["1f1b", "gpipe"],
+                    help="pipeline schedule: 1f1b (O(P) activation "
+                         "memory, default) or gpipe (AD over the loop)")
     ap.add_argument("--fsdp", action="store_true",
                     help="shard params+moments over dp (ZeRO-3 analog)")
     ap.add_argument("--resume", default=None,
@@ -328,7 +332,7 @@ def main(argv=None) -> int:
 
 
 def _run_pipeline(args, p, card, tcard, state, batches, total_steps) -> int:
-    """GPipe pipeline training loop (koifish --pp N)."""
+    """Pipeline training loop (koifish --pp N), 1F1B or GPipe schedule."""
     import jax
 
     from koifish_tpu.parallel.mesh import make_mesh
@@ -342,8 +346,10 @@ def _run_pipeline(args, p, card, tcard, state, batches, total_steps) -> int:
     stage_layers, other = stack_for_pipeline(state.params, args.pp)
     opt = init_opt_state({"stages": stage_layers, "other": other},
                          tcard.optimizer)
-    step = make_pp_train_step(card, tcard, mesh, n_micro, total_steps)
+    step = make_pp_train_step(card, tcard, mesh, n_micro, total_steps,
+                              schedule=getattr(args, "pp_schedule", "1f1b"))
     print(f"[koifish] pipeline: pp={args.pp} n_micro={n_micro} "
+          f"schedule={getattr(args, 'pp_schedule', '1f1b')} "
           f"(bubble {(args.pp-1)/(n_micro+args.pp-1):.0%})")
     infos = StepInfo()
     ctx = (jax.sharding.use_mesh(mesh)

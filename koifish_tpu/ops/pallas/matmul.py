@@ -175,6 +175,61 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, fmt, group, k):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
+def qmv_int8_mxu(x, codes, scales, *, group: int, k: int):
+    """EXPERIMENTAL int8-MXU decode GEMV for INT8 weights: activations
+    dynamic-quantized per (row, group) IN-KERNEL, int8 x int8 -> int32
+    MXU dots, f32 scale fixup on the [bm, bn] outputs:
+
+        y = sum_g (q8(x_g) @ wq_g) . sx[:, g] . s[g, :]
+
+    vs `_qmv`'s bf16 widen + bf16 dot. Whether it pays depends on where
+    the GEMV is bound (HBM code reads are identical; the candidate win is
+    the 2x MXU int8 rate + skipping the [K, bn] bf16 widen) — NOT the
+    default until measured on chip (tools/kernel_smoke.py compares both).
+    """
+    n = codes.shape[-1]
+    bm = x.shape[0]
+    bn = 256 if n % 256 == 0 else 128
+    kernel = functools.partial(_qmv_int8_kernel, group=group, k=k)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // group, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * n * k,
+            bytes_accessed=bm * k * 2 + k * n + bm * n * 2,
+            transcendentals=0,
+        ),
+    )(x, codes, scales)
+
+
+def _qmv_int8_kernel(x_ref, w_ref, s_ref, o_ref, *, group, k):
+    xf = x_ref[:].astype(jnp.float32)                   # [bm, K]
+    s = s_ref[:].astype(jnp.float32)                    # [ng, bn]
+    acc = jnp.zeros((xf.shape[0], w_ref.shape[1]), jnp.float32)
+    for g in range(k // group):
+        xg = xf[:, g * group:(g + 1) * group]
+        sx = jnp.max(jnp.abs(xg), axis=1, keepdims=True) / 127.0  # [bm, 1]
+        sx = jnp.maximum(sx, 1e-12)
+        xq = jnp.clip(jnp.round(xg / sx), -127, 127).astype(jnp.int8)
+        d = jnp.dot(xq, w_ref[g * group:(g + 1) * group, :],
+                    preferred_element_type=jnp.int32)
+        acc = acc + d.astype(jnp.float32) * sx * s[g:g + 1, :]
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("fmt", "group", "k"))
 def _qmm(x, codes, scales, *, fmt: QFormat, group: int, k: int):
     m, n = x.shape[0], codes.shape[-1]

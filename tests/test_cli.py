@@ -65,6 +65,12 @@ def test_koifish_train_cli(tmp_path, tiny_hf):
     assert len(rows) == 25
     first, last = float(rows[0]["loss"]), float(rows[-1]["loss"])
     assert last < first * 0.5, f"loss {first} -> {last}"
+    # CLI-level PINNED golden (config parse -> data -> trainer wiring):
+    # the reference pins loss values, not just loss drops
+    # (CheckResult rel_tol=1e-3, cases/test_lite.py:17-34). A wiring
+    # regression that merely slows convergence now fails here.
+    import math
+    assert math.isclose(last, 0.0426445, rel_tol=2e-3), last
 
 
 def test_koifish_gpt_every_cli(tmp_path, tiny_hf):

@@ -278,3 +278,18 @@ def test_flash_head_major_fallback():
     k = jax.random.normal(jax.random.PRNGKey(1), (B, T, Hkv, D), jnp.bfloat16)
     v = jax.random.normal(jax.random.PRNGKey(2), (B, T, Hkv, D), jnp.bfloat16)
     _flash_grads_vs_ref(q, k, v, 1.0 / D ** 0.5)
+
+
+def test_qmv_int8_mxu_matches_ref():
+    """Experimental int8-MXU GEMV (in-kernel activation quant + int8 dots)
+    tracks the bf16-dot kernel within int8-activation noise."""
+    key = jax.random.PRNGKey(0)
+    M, K, N = 8, 1024, 256
+    x = jax.random.normal(key, (M, K), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.float32) * 0.02
+    qt = quantize(w, QFormat.INT8, group=128)
+    ref = pmm._ref_qmatmul(x, qt, jnp.float32)
+    out = pmm.qmv_int8_mxu(x, qt.codes, qt.scales, group=128, k=K
+                           ).astype(jnp.float32)
+    err = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-9))
+    assert err < 0.02, err

@@ -71,6 +71,40 @@ def main() -> int:
                 return _rel(out, ref)
             guarded(f"qmatmul {fmt.name} m={m}", _run)
 
+    # --- experimental int8-MXU GEMV: parity + timed vs the bf16-dot GEMV --
+    qt8 = quantize(w, QFormat.INT8, group=128)
+    for m in ms:
+        if m > 32:
+            continue
+
+        def _run_i8(m=m):
+            x = jax.random.normal(jax.random.PRNGKey(m), (m, 1024),
+                                  jnp.bfloat16)
+            ref = pmm._ref_qmatmul(x, qt8, jnp.float32)
+            out = pmm.qmv_int8_mxu(x, qt8.codes, qt8.scales, group=128,
+                                   k=1024).astype(jnp.float32)
+            return _rel(out, ref)
+        guarded(f"qmv_int8_mxu m={m}", _run_i8)
+    if not quick:
+        import time as _t
+        x = jax.random.normal(jax.random.PRNGKey(7), (32, 1024), jnp.bfloat16)
+        for name, fn in (
+            ("bf16-dot GEMV", lambda: pmm.qmatmul_pallas_or_ref(
+                x, qt8, jnp.float32)),
+            ("int8-MXU GEMV", lambda: pmm.qmv_int8_mxu(
+                x, qt8.codes, qt8.scales, group=128, k=1024)),
+        ):
+            try:
+                fn().block_until_ready()
+                t0 = _t.perf_counter()
+                for _ in range(50):
+                    y = fn()
+                float(y[0, 0])
+                print(f"  [timing] {name}: "
+                      f"{(_t.perf_counter() - t0) / 50 * 1e6:.1f} us")
+            except Exception as e:  # timing is advisory, never fails smoke
+                print(f"  [timing] {name}: failed {e!r}")
+
     # --- flash attention fwd/bwd (incl. sliding window) -------------------
     from koifish_tpu.ops.attention import causal_attention
     import koifish_tpu.ops.pallas.flash as pfl
