@@ -162,6 +162,9 @@ class ModelCard:
     # ONLY these layer indices get the MoE FFN; the rest stay dense.
     # () + n_experts>0 = every layer MoE (the plain *_MOE arch)
     moe_layers: tuple = ()
+    # layer indices that are GAU blocks (gated attention unit replaces
+    # the attention+FFN pair — models/gau.py)
+    gau_layers: tuple = ()
     # MLA (DeepSeek family; attn="mla")
     attn: str = "std"
     q_lora_rank: int = 0
@@ -248,16 +251,19 @@ class ModelCard:
         bb = jmodel.get("backbone")
         if bb:
             from koifish_tpu.models.backbone import (BackboneError,
+                                                     gau_layer_indices,
                                                      moe_layer_indices,
                                                      validate_backbone)
             layout = validate_backbone(bb, card.n_layer)
             if layout == "hybrid":
-                # per-layer mixed dense/MoE FFNs — BUILD it (r2 rejected)
-                if card.n_experts <= 0:
+                # per-layer mixed dense/MoE/GAU blocks — BUILD it
+                # (round 2 rejected every non-standard arrangement)
+                card.moe_layers = moe_layer_indices(bb, card.n_layer)
+                card.gau_layers = gau_layer_indices(bb, card.n_layer)
+                if card.moe_layers and card.n_experts <= 0:
                     raise BackboneError(
                         "hybrid backbone has MOE layers but the model "
                         "config sets no experts (parameter.num_experts)")
-                card.moe_layers = moe_layer_indices(bb, card.n_layer)
             elif layout == "moe" and card.n_experts <= 0:
                 raise BackboneError(
                     "MoE backbone but no experts configured "

@@ -81,18 +81,24 @@ def flatten_backbone(backbone: Dict[str, Any], n_layer: int,
 
 
 def _layer_ffn_kinds(seq: List[str], n_layer: int):
-    """If ``seq`` is EMBED [QKV (FFN|MOE)]xL NORMAL CLASIFY, return the L
-    per-layer FFN kinds; else None."""
-    if len(seq) != 3 + 2 * n_layer:
+    """If ``seq`` is EMBED [QKV (FFN|MOE) | GAU]xL NORMAL CLASIFY, return
+    the L per-layer block kinds ("FFN" | "MOE" | "GAU" — a GAU block
+    replaces the attention+FFN pair); else None."""
+    if not seq or seq[0] != "EMBED" or seq[-2:] != ["NORMAL", "CLASIFY"]:
         return None
-    if seq[0] != "EMBED" or seq[-2:] != ["NORMAL", "CLASIFY"]:
-        return None
-    kinds = []
-    for i in range(n_layer):
-        if seq[1 + 2 * i] != "QKV" or seq[2 + 2 * i] not in ("FFN", "MOE"):
+    body, kinds, i = seq[1:-2], [], 0
+    while i < len(body):
+        if body[i] == "QKV":
+            if i + 1 >= len(body) or body[i + 1] not in ("FFN", "MOE"):
+                return None
+            kinds.append(body[i + 1])
+            i += 2
+        elif body[i] == "GAU":
+            kinds.append("GAU")
+            i += 1
+        else:
             return None
-        kinds.append(seq[2 + 2 * i])
-    return kinds
+    return kinds if len(kinds) == n_layer else None
 
 
 def validate_backbone(backbone: Dict[str, Any], n_layer: int) -> str:
@@ -122,8 +128,18 @@ def validate_backbone(backbone: Dict[str, Any], n_layer: int) -> str:
 def moe_layer_indices(backbone: Dict[str, Any], n_layer: int,
                       ) -> Tuple[int, ...]:
     """Layer indices whose FFN is MOE in a hybrid backbone."""
+    return _kind_indices(backbone, n_layer, "MOE")
+
+
+def gau_layer_indices(backbone: Dict[str, Any], n_layer: int,
+                      ) -> Tuple[int, ...]:
+    """Layer indices that are GAU blocks in a hybrid backbone."""
+    return _kind_indices(backbone, n_layer, "GAU")
+
+
+def _kind_indices(backbone, n_layer, kind) -> Tuple[int, ...]:
     seq = [t for _, t in flatten_backbone(backbone, n_layer)]
     kinds = _layer_ffn_kinds(seq, n_layer)
     if kinds is None:
         raise BackboneError("not a layerwise decoder backbone")
-    return tuple(i for i, k in enumerate(kinds) if k == "MOE")
+    return tuple(i for i, k in enumerate(kinds) if k == kind)

@@ -79,6 +79,13 @@ def init_params(card: ModelCard, key: jax.Array, dtype=jnp.bfloat16) -> Params:
             lp.update(init_mamba_layer(card, ks[0], dtype))
             layers.append(lp)
             continue
+        if li in card.gau_layers:
+            # GAU block replaces the whole (attention, FFN) pair
+            from koifish_tpu.models.gau import init_gau_layer
+            lp = {"ln1": jnp.ones((E,), dtype)}
+            lp.update(init_gau_layer(card, ks[0], dtype))
+            layers.append(lp)
+            continue
         elif card.attn == "mla":
             from koifish_tpu.models.mla import init_mla_layer
             lp = {"ln1": jnp.ones((E,), dtype),
@@ -213,6 +220,9 @@ def layer_forward(card: ModelCard, lp: Params, x: jax.Array,
         from koifish_tpu.models.mamba import mamba_block
         h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
         return x + mamba_block(card, lp, h)
+    if "upU" in lp:     # GAU block (models/gau.py) — no separate FFN
+        from koifish_tpu.models.gau import gau_block
+        return gau_block(card, lp, x, cos, sin, positions)
     h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
     q, k, v = qkv_project(card, lp, h, cos, sin, positions)
     a = causal_attention(q, k, v, window=window, causal=card.causal)

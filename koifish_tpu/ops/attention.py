@@ -60,6 +60,7 @@ def causal_attention(
     sp = current_sp()
     if (sp is not None and backend != "ref"
             and mask is None and causal and window == 0 and tq == tk
+            and v.shape[-1] == d
             and tq % sp.mesh.shape[sp.axis] == 0):
         # sequence-parallel training: ring attention with T sharded over
         # the sp axis (nested shard_map; grads flow — the fori_loop has a

@@ -79,6 +79,8 @@ def _eligible(q, k, window: int) -> bool:
         and d in (64, 128, 256)
         and hq % hkv == 0
         and window >= 0        # sliding window supported in-kernel
+        # value head dim must match qk head dim (GAU gates F/H-wide
+        # values; MLA dv≠d also takes the XLA path)
     )
 
 
@@ -101,7 +103,7 @@ def _col_cfg(hq: int, hkv: int, d: int) -> Optional[tuple]:
 def flash_attention_or_none(q, k, v, *, scale: float, window: int = 0
                             ) -> Optional[jax.Array]:
     """Differentiable causal flash attention (Pallas fwd + bwd kernels)."""
-    if not _eligible(q, k, window):
+    if not _eligible(q, k, window) or v.shape[-1] != q.shape[-1]:
         return None
     b, t, hq, d = q.shape
     if _col_cfg(hq, k.shape[2], d) is not None:

@@ -66,6 +66,10 @@ def prefill(card: ModelCard, params: Params, tokens: jax.Array,
     """
     B, T = tokens.shape
     start = cache.pos[0]                       # uniform-start batch
+    if getattr(card, "gau_layers", ()):
+        raise NotImplementedError(
+            "GAU blocks are train/forward only: serving needs a v-gate "
+            "cache (the reference cannot build GAU at all — models/gau.py)")
     positions = start + jnp.arange(T, dtype=jnp.int32)
     positions = jnp.minimum(positions, card.max_pos - 1)
     cos, sin = _rope_tables(card)

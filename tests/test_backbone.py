@@ -145,3 +145,68 @@ def test_moe_backbone_without_experts_errors():
         "transformer": HYBRID_JM["parameter"]["transformer"]})
     with pytest.raises(BackboneError):
         ModelCard.from_json(jm)
+
+
+GAU_JM = {
+    "arch": "QWEN3", "vocab_size": 128,
+    "parameter": {"Layer": 3, "max_pos_embeddings": 64,
+                  "transformer": {"Ctx": 32, "Embed": 64, "Head": 4,
+                                  "KVHead": 2, "head_dim": 16, "Ffn": 128}},
+    "backbone": {
+        "embed_tokens": {"Embedding": []},
+        "blk0": {"self_attn": {"QKV": []}, "mlp": {"FFN": []}},
+        "gattn": {"GAU": []},
+        "blk2": {"self_attn": {"QKV": []}, "mlp": {"FFN": []}},
+        "norm": {"Normal": []}, "output": {"CLASIFY": []}},
+}
+
+
+def test_gau_backbone_builds_and_trains_pinned():
+    """A GAU arrangement BUILDS and trains (the reference's GatedAttention
+    scaffold can't even construct — TGraph.cpp:505 asserts; ours is the
+    working GAU of arXiv:2202.10447). Final loss pinned rel_tol 1e-3."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from koifish_tpu.config import ModelCard, TrainCard
+    from koifish_tpu.models import init_params, model_forward
+    from koifish_tpu.train.trainer import init_train_state, make_train_step
+
+    card = ModelCard.from_json(GAU_JM)
+    assert card.gau_layers == (1,)
+    params = init_params(card, jax.random.PRNGKey(0))
+    assert "upU" in params["layers"][1] and "q" not in params["layers"][1]
+    out = model_forward(card, params, jnp.zeros((1, 8), jnp.int32))
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+    tcard = TrainCard(batch=8, lr=0.01, warmup=3, seed=42)
+    state = init_train_state(card, tcard)
+    step = make_train_step(card, tcard, total_steps=20)
+    key = jax.random.PRNGKey(0)
+    loss = None
+    for _ in range(12):
+        key, k = jax.random.split(key)
+        s = jax.random.randint(k, (8, 1), 0, 64)
+        batch = {"tokens": ((s + jnp.arange(33)[None]) % 64)[None
+                 ].astype(jnp.int32)}
+        state, m = step(state, batch)
+        loss = float(m["loss"])
+    assert math.isclose(loss, 1.1499, rel_tol=1e-3), loss
+
+
+def test_gau_serving_errors_loudly():
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pt
+
+    from koifish_tpu.config import ModelCard
+    from koifish_tpu.models import init_params
+    from koifish_tpu.serve import engine, init_cache
+
+    card = ModelCard.from_json(GAU_JM)
+    params = init_params(card, jax.random.PRNGKey(0))
+    cache = init_cache(card.n_layer, 1, 16, card.n_kv_head, card.head_dim)
+    with _pt.raises(NotImplementedError, match="GAU"):
+        engine.prefill(card, params, jnp.zeros((1, 4), jnp.int32), cache)
