@@ -165,6 +165,9 @@ class ModelCard:
     # layer indices that are GAU blocks (gated attention unit replaces
     # the attention+FFN pair — models/gau.py)
     gau_layers: tuple = ()
+    # layer indices whose attention is BROWN (learned fixed attention,
+    # the reference's BROWN_attn — models/brown.py); FFN kept
+    brown_layers: tuple = ()
     # MLA (DeepSeek family; attn="mla")
     attn: str = "std"
     q_lora_rank: int = 0
@@ -251,15 +254,17 @@ class ModelCard:
         bb = jmodel.get("backbone")
         if bb:
             from koifish_tpu.models.backbone import (BackboneError,
+                                                     brown_layer_indices,
                                                      gau_layer_indices,
                                                      moe_layer_indices,
                                                      validate_backbone)
             layout = validate_backbone(bb, card.n_layer)
             if layout == "hybrid":
-                # per-layer mixed dense/MoE/GAU blocks — BUILD it
+                # per-layer mixed dense/MoE/GAU/BROWN blocks — BUILD it
                 # (round 2 rejected every non-standard arrangement)
                 card.moe_layers = moe_layer_indices(bb, card.n_layer)
                 card.gau_layers = gau_layer_indices(bb, card.n_layer)
+                card.brown_layers = brown_layer_indices(bb, card.n_layer)
                 if card.moe_layers and card.n_experts <= 0:
                     raise BackboneError(
                         "hybrid backbone has MOE layers but the model "
@@ -569,6 +574,11 @@ class CLIParams:
             p.hf_card = hf_dir
         elif jm:
             p.model = ModelCard.from_json(jm)
+        # legacy attention-type selector (reference gLLM.cpp:79:
+        # model_v0.attention.type == "brown" -> every layer BROWN_attn)
+        if (jkv(raw, ["model_v0", "attention", "type"], "QKV").lower()
+                == "brown" and p.model is not None):
+            p.model.brown_layers = tuple(range(p.model.n_layer))
         if "fuyou" in jm:
             p.fuyou = jm["fuyou"]
         p.xi = jm.get("xi", raw.get("xi"))   # XI_CARD (diffusion mask cfg)

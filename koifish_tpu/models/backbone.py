@@ -81,17 +81,22 @@ def flatten_backbone(backbone: Dict[str, Any], n_layer: int,
 
 
 def _layer_ffn_kinds(seq: List[str], n_layer: int):
-    """If ``seq`` is EMBED [QKV (FFN|MOE) | GAU]xL NORMAL CLASIFY, return
-    the L per-layer block kinds ("FFN" | "MOE" | "GAU" — a GAU block
-    replaces the attention+FFN pair); else None."""
+    """If ``seq`` is EMBED [(QKV|BROWN) (FFN|MOE) | GAU]xL NORMAL CLASIFY,
+    return the L per-layer block kinds ("FFN" | "MOE" | "GAU" | "BROWN" |
+    "BROWN_MOE" — a GAU block replaces the attention+FFN pair; BROWN
+    replaces the attention and keeps the mlp neuron); else None."""
     if not seq or seq[0] != "EMBED" or seq[-2:] != ["NORMAL", "CLASIFY"]:
         return None
     body, kinds, i = seq[1:-2], [], 0
     while i < len(body):
-        if body[i] == "QKV":
+        if body[i] in ("QKV", "BROWN"):
             if i + 1 >= len(body) or body[i + 1] not in ("FFN", "MOE"):
                 return None
-            kinds.append(body[i + 1])
+            if body[i] == "BROWN":
+                kinds.append("BROWN" if body[i + 1] == "FFN"
+                             else "BROWN_MOE")
+            else:
+                kinds.append(body[i + 1])
             i += 2
         elif body[i] == "GAU":
             kinds.append("GAU")
@@ -119,27 +124,37 @@ def validate_backbone(backbone: Dict[str, Any], n_layer: int) -> str:
         "backbone tree does not match a supported layout.\n"
         f"  got ({len(seq)} neurons): {' '.join(seq[:8])}"
         f"{' ...' if len(seq) > 8 else ''}\n"
-        f"  supported: EMBED [QKV FFN|MOE]x{n_layer} NORMAL CLASIFY "
-        "(dense / MoE / per-layer hybrid)\n"
-        "  Non-standard arrangements (GAU/BROWN/extra neurons) are not "
+        f"  supported: EMBED [(QKV|BROWN) FFN|MOE | GAU]x{n_layer} "
+        "NORMAL CLASIFY (dense / MoE / per-layer hybrid / GAU / BROWN)\n"
+        "  Other arrangements (extra neurons, reordered blocks) are not "
         "silently coerced — adjust the backbone or extend models/.")
 
 
 def moe_layer_indices(backbone: Dict[str, Any], n_layer: int,
                       ) -> Tuple[int, ...]:
-    """Layer indices whose FFN is MOE in a hybrid backbone."""
-    return _kind_indices(backbone, n_layer, "MOE")
+    """Layer indices whose FFN is MOE in a hybrid backbone (incl. BROWN
+    layers with a MoE mlp)."""
+    return _kind_indices(backbone, n_layer,
+                         lambda k: k.endswith("MOE"))
 
 
 def gau_layer_indices(backbone: Dict[str, Any], n_layer: int,
                       ) -> Tuple[int, ...]:
     """Layer indices that are GAU blocks in a hybrid backbone."""
-    return _kind_indices(backbone, n_layer, "GAU")
+    return _kind_indices(backbone, n_layer, lambda k: k == "GAU")
 
 
-def _kind_indices(backbone, n_layer, kind) -> Tuple[int, ...]:
+def brown_layer_indices(backbone: Dict[str, Any], n_layer: int,
+                        ) -> Tuple[int, ...]:
+    """Layer indices whose attention is BROWN (learned fixed attention,
+    models/brown.py) in a hybrid backbone."""
+    return _kind_indices(backbone, n_layer,
+                         lambda k: k.startswith("BROWN"))
+
+
+def _kind_indices(backbone, n_layer, pred) -> Tuple[int, ...]:
     seq = [t for _, t in flatten_backbone(backbone, n_layer)]
     kinds = _layer_ffn_kinds(seq, n_layer)
     if kinds is None:
         raise BackboneError("not a layerwise decoder backbone")
-    return tuple(i for i, k in enumerate(kinds) if k == kind)
+    return tuple(i for i, k in enumerate(kinds) if pred(k))

@@ -86,6 +86,12 @@ def init_params(card: ModelCard, key: jax.Array, dtype=jnp.bfloat16) -> Params:
             lp.update(init_gau_layer(card, ks[0], dtype))
             layers.append(lp)
             continue
+        elif li in card.brown_layers:
+            # BROWN replaces the attention; the FFN neuron stays
+            from koifish_tpu.models.brown import init_brown_layer
+            lp = {"ln1": jnp.ones((E,), dtype),
+                  "ln2": jnp.ones((E,), dtype)}
+            lp.update(init_brown_layer(card, ks[0], dtype))
         elif card.attn == "mla":
             from koifish_tpu.models.mla import init_mla_layer
             lp = {"ln1": jnp.ones((E,), dtype),
@@ -103,11 +109,11 @@ def init_params(card: ModelCard, key: jax.Array, dtype=jnp.bfloat16) -> Params:
         if card.norm == "layernorm":
             lp["ln1_b"] = jnp.zeros((E,), dtype)
             lp["ln2_b"] = jnp.zeros((E,), dtype)
-        if card.qkv_bias:
+        if card.qkv_bias and "brown_w" not in lp:
             lp["q_b"] = jnp.zeros((Hq * D,), dtype)
             lp["k_b"] = jnp.zeros((Hkv * D,), dtype)
             lp["v_b"] = jnp.zeros((Hkv * D,), dtype)
-        if card.qk_norm:
+        if card.qk_norm and "brown_w" not in lp:
             lp["qn"] = jnp.ones((D,), dtype)
             lp["kn"] = jnp.ones((D,), dtype)
         if card.n_experts > 0 and (not card.moe_layers
@@ -223,6 +229,11 @@ def layer_forward(card: ModelCard, lp: Params, x: jax.Array,
     if "upU" in lp:     # GAU block (models/gau.py) — no separate FFN
         from koifish_tpu.models.gau import gau_block
         return gau_block(card, lp, x, cos, sin, positions)
+    if "brown_w" in lp:  # BROWN learned attention (models/brown.py) + FFN
+        from koifish_tpu.models.brown import brown_attn
+        x = brown_attn(card, lp, x, cos, sin, positions)
+        h = _norm(card, x, lp["ln2"], lp.get("ln2_b"))
+        return x + mlp(card, lp, h)
     h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
     q, k, v = qkv_project(card, lp, h, cos, sin, positions)
     a = causal_attention(q, k, v, window=window, causal=card.causal)

@@ -70,6 +70,11 @@ def prefill(card: ModelCard, params: Params, tokens: jax.Array,
         raise NotImplementedError(
             "GAU blocks are train/forward only: serving needs a v-gate "
             "cache (the reference cannot build GAU at all — models/gau.py)")
+    if getattr(card, "brown_layers", ()):
+        raise NotImplementedError(
+            "BROWN layers are train/forward only: the learned attention "
+            "is bounded at n_ctx and the reference never serves it "
+            "(models/brown.py)")
     positions = start + jnp.arange(T, dtype=jnp.int32)
     positions = jnp.minimum(positions, card.max_pos - 1)
     cos, sin = _rope_tables(card)

@@ -210,3 +210,85 @@ def test_gau_serving_errors_loudly():
     cache = init_cache(card.n_layer, 1, 16, card.n_kv_head, card.head_dim)
     with _pt.raises(NotImplementedError, match="GAU"):
         engine.prefill(card, params, jnp.zeros((1, 4), jnp.int32), cache)
+
+
+BROWN_JM = {
+    "arch": "QWEN3", "vocab_size": 128,
+    "parameter": {"Layer": 3, "max_pos_embeddings": 64,
+                  "transformer": {"Ctx": 32, "Embed": 64, "Head": 4,
+                                  "KVHead": 4, "head_dim": 16, "Ffn": 128}},
+    "backbone": {
+        "embed_tokens": {"Embedding": []},
+        "blk0": {"self_attn": {"QKV": []}, "mlp": {"FFN": []}},
+        "blk1": {"self_attn": {"BROWN": []}, "mlp": {"FFN": []}},
+        "blk2": {"self_attn": {"QKV": []}, "mlp": {"FFN": []}},
+        "norm": {"Normal": []}, "output": {"CLASIFY": []}},
+}
+
+
+def test_brown_backbone_builds_and_trains_pinned():
+    """A BROWN_attn arrangement (learned fixed attention, the reference's
+    TGraph.cpp:400-489) BUILDS and trains. Final loss pinned rel_tol 1e-3."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from koifish_tpu.config import ModelCard, TrainCard
+    from koifish_tpu.models import init_params, model_forward
+    from koifish_tpu.models.backbone import brown_layer_indices
+    from koifish_tpu.train.trainer import init_train_state, make_train_step
+
+    assert validate_backbone(BROWN_JM["backbone"], 3) == "hybrid"
+    assert brown_layer_indices(BROWN_JM["backbone"], 3) == (1,)
+    card = ModelCard.from_json(BROWN_JM)
+    assert card.brown_layers == (1,)
+    params = init_params(card, jax.random.PRNGKey(0))
+    lp = params["layers"][1]
+    assert "brown_w" in lp and "q" not in lp and "gate" in lp
+    assert lp["brown_w"].shape == (4, 32, 32)
+    out = model_forward(card, params, jnp.zeros((1, 8), jnp.int32))
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+    tcard = TrainCard(batch=8, lr=0.01, warmup=3, seed=42)
+    state = init_train_state(card, tcard)
+    step = make_train_step(card, tcard, total_steps=20)
+    key = jax.random.PRNGKey(0)
+    loss = None
+    for _ in range(12):
+        key, k = jax.random.split(key)
+        s = jax.random.randint(k, (8, 1), 0, 64)
+        batch = {"tokens": ((s + jnp.arange(33)[None]) % 64)[None
+                 ].astype(jnp.int32)}
+        state, m = step(state, batch)
+        loss = float(m["loss"])
+    assert math.isclose(loss, 1.9677, rel_tol=1e-3), loss
+
+
+def test_brown_causality():
+    """BROWN attention must be causal: logits at position t are invariant
+    to tokens after t."""
+    import jax
+    import jax.numpy as jnp
+
+    from koifish_tpu.config import ModelCard
+    from koifish_tpu.models import init_params, model_forward
+
+    card = ModelCard.from_json(BROWN_JM)
+    params = init_params(card, jax.random.PRNGKey(1))
+    t1 = jnp.arange(16, dtype=jnp.int32)[None] % 64
+    t2 = t1.at[:, 10:].set(7)
+    o1 = model_forward(card, params, t1)
+    o2 = model_forward(card, params, t2)
+    assert jnp.allclose(o1[:, :10], o2[:, :10], atol=1e-4)
+
+
+def test_brown_legacy_attention_type_selector():
+    """model_v0.attention.type == "brown" makes every layer BROWN
+    (reference gLLM.cpp:79)."""
+    from koifish_tpu.config import CLIParams
+
+    raw = {"model": {k: v for k, v in BROWN_JM.items() if k != "backbone"},
+           "model_v0": {"attention": {"type": "brown"}}}
+    p = CLIParams.from_json(raw)
+    assert p.model.brown_layers == (0, 1, 2)
