@@ -117,27 +117,32 @@ def bench_decode(args, emit=True):
     # not the chip (121 vs 269 agg tok/s in the serving bench).
     lc = _jit_split_cache(cache, uniform=True)
     K = 16
+    # pre-wrap dispatch (pos + K <= S): sink re-rope compiled out — the
+    # same host-side rule engine.generate applies per chunk
     toks, lc, rng = _jit_decode_sample_layered_k(card, dparams, tok, lc,
-                                                 rng, sampler, K)
+                                                 rng, sampler, K,
+                                                 streaming=False)
     tok = toks[-1]
     int(tok[0])
     N = max(args.steps // K, 2)
     t0 = time.perf_counter()
     for _ in range(N):
         toks, lc, rng = _jit_decode_sample_layered_k(card, dparams, tok, lc,
-                                                     rng, sampler, K)
+                                                     rng, sampler, K,
+                                                     streaming=False)
         tok = toks[-1]
     int(tok[0])  # true sync (host fetch)
     dt = (time.perf_counter() - t0) / (N * K)
 
     # per-token dispatch (host-RTT-bound here; real interactive floor)
     tok, lc, rng = _jit_decode_sample_layered(card, dparams, tok, lc, rng,
-                                              sampler)
+                                              sampler, streaming=False)
     int(tok[0])
     t0 = time.perf_counter()
     for _ in range(8):
         tok, lc, rng = _jit_decode_sample_layered(card, dparams, tok, lc,
-                                                  rng, sampler)
+                                                  rng, sampler,
+                                                  streaming=False)
     int(tok[0])
     dt1 = (time.perf_counter() - t0) / 8
     tps = B / dt

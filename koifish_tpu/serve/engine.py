@@ -113,15 +113,20 @@ def prefill(card: ModelCard, params: Params, tokens: jax.Array,
 
 
 def decode_step(card: ModelCard, params: Params, token: jax.Array,
-                cache: KVCache) -> Tuple[jax.Array, KVCache]:
+                cache: KVCache, streaming: bool = True,
+                ) -> Tuple[jax.Array, KVCache]:
     """One decode step: token [B] -> logits [B, V], updated cache.
 
     Accepts either per-layer-list params (unrolled, supports heterogeneous
     quant) or layer-stacked params from serve.stacked.stack_layers (scan —
-    O(one layer) op count, the fast path on dispatch-bound runtimes)."""
+    O(one layer) op count, the fast path on dispatch-bound runtimes).
+
+    ``streaming`` (static): False compiles out the per-step sink re-rope
+    — sound when pos + steps <= cache.size for every dispatched step
+    (see layered.decode_step_layered)."""
     if not isinstance(params["layers"], list):
         from koifish_tpu.serve.stacked import decode_step_stacked
-        return decode_step_stacked(card, params, token, cache)
+        return decode_step_stacked(card, params, token, cache, streaming)
     B = token.shape[0]
     # UNCLAMPED positions: rope cos/sin evaluated directly (not a table
     # lookup) so angles keep advancing past max_pos — streaming past the
@@ -151,7 +156,7 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
         h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
         q, k, v = qkv_project(card, lp, h, cos, sin, rope_pos)
         cache = kvc.write_token(cache, li, k[:, 0], v[:, 0],
-                                rope_inv_freq=inv_freq)
+                                rope_inv_freq=inv_freq if streaming else None)
         a = None
         if cache.fmt in (QFormat.INT8, QFormat.INT4):
             # fused kernel reads INT8/packed-INT4 codes directly (1/2 or
@@ -215,10 +220,11 @@ def prefill_chunked(card: ModelCard, params: Params, tokens: jax.Array,
     return logits, cache
 
 
-@functools.partial(jax.jit, static_argnames=("card", "sampler"),
+@functools.partial(jax.jit, static_argnames=("card", "sampler", "streaming"),
                    donate_argnames=("cache",))
-def _jit_decode_sample(card, params, token, cache, rng, sampler):
-    logits, cache = decode_step(card, params, token, cache)
+def _jit_decode_sample(card, params, token, cache, rng, sampler,
+                       streaming=True):
+    logits, cache = decode_step(card, params, token, cache, streaming)
     rng, sub = jax.random.split(rng)
     nxt = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                         sampler.top_p, sampler.min_p,
@@ -226,11 +232,12 @@ def _jit_decode_sample(card, params, token, cache, rng, sampler):
     return nxt, cache, rng
 
 
-@functools.partial(jax.jit, static_argnames=("card", "sampler"),
+@functools.partial(jax.jit, static_argnames=("card", "sampler", "streaming"),
                    donate_argnames=("lc",))
-def _jit_decode_sample_layered(card, params, token, lc, rng, sampler):
+def _jit_decode_sample_layered(card, params, token, lc, rng, sampler,
+                               streaming=True):
     from koifish_tpu.serve.layered import decode_step_layered
-    logits, lc = decode_step_layered(card, params, token, lc)
+    logits, lc = decode_step_layered(card, params, token, lc, streaming)
     rng, sub = jax.random.split(rng)
     nxt = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                         sampler.top_p, sampler.min_p,
@@ -238,16 +245,18 @@ def _jit_decode_sample_layered(card, params, token, lc, rng, sampler):
     return nxt, lc, rng
 
 
-@functools.partial(jax.jit, static_argnames=("card", "sampler", "k"),
+@functools.partial(jax.jit,
+                   static_argnames=("card", "sampler", "k", "streaming"),
                    donate_argnames=("lc",))
-def _jit_decode_sample_layered_k(card, params, token, lc, rng, sampler, k):
+def _jit_decode_sample_layered_k(card, params, token, lc, rng, sampler, k,
+                                 streaming=True):
     """K layered decode+sample steps per dispatch (lax.scan over tokens;
     per-layer cache leaves are loop carries XLA updates in place)."""
     from koifish_tpu.serve.layered import decode_step_layered
 
     def body(carry, _):
         tok, lc, rng = carry
-        logits, lc = decode_step_layered(card, params, tok, lc)
+        logits, lc = decode_step_layered(card, params, tok, lc, streaming)
         rng, sub = jax.random.split(rng)
         tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                             sampler.top_p, sampler.min_p,
@@ -293,16 +302,18 @@ _jit_split_cache = jax.jit(_split_cache_impl, static_argnames=("uniform",),
                            donate_argnums=(0,))
 
 
-@functools.partial(jax.jit, static_argnames=("card", "sampler", "k"),
+@functools.partial(jax.jit,
+                   static_argnames=("card", "sampler", "k", "streaming"),
                    donate_argnames=("cache",))
-def _jit_decode_sample_k(card, params, token, cache, rng, sampler, k):
+def _jit_decode_sample_k(card, params, token, cache, rng, sampler, k,
+                         streaming=True):
     """K decode+sample steps in one executable (lax.scan) — one host
     round-trip per K tokens instead of per token. On tunneled runtimes the
     per-step host fetch (~30 ms RTT) dominates the 121-tok/s serving agg;
     this is the fix (eos is checked on the host every K tokens)."""
     def body(carry, _):
         tok, cache, rng = carry
-        logits, cache = decode_step(card, params, tok, cache)
+        logits, cache = decode_step(card, params, tok, cache, streaming)
         rng, sub = jax.random.split(rng)
         tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                             sampler.top_p, sampler.min_p,
@@ -336,8 +347,10 @@ def generate(
     rng = rng if rng is not None else jax.random.PRNGKey(sampler.seed)
     dparams = decode_params if decode_params is not None else params
 
-    fresh = bool(int(cache.pos[0]) == 0)
+    pos_host = int(cache.pos[0])        # host mirror of the uniform pos
+    fresh = bool(pos_host == 0)
     logits, cache = _jit_prefill(card, params, prompt, cache, fresh=fresh)
+    pos_host += prompt.shape[1]
     rng, sub = jax.random.split(rng)
     tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                         sampler.top_p, sampler.min_p,
@@ -353,14 +366,20 @@ def generate(
         if bool(done.all()):
             break
         k = min(decode_chunk, remaining)
+        # static pre-wrap/post-wrap split: while every step of this
+        # dispatch stays below the window, run the executable with the
+        # sink re-rope compiled out (no step can need it)
+        streaming = pos_host + k > lc.size
         if k > 1:
             toks, lc, rng = _jit_decode_sample_layered_k(
-                card, dparams, tok, lc, rng, sampler, k)
+                card, dparams, tok, lc, rng, sampler, k,
+                streaming=streaming)
             steps = [toks[i] for i in range(k)]
         else:
-            tok, lc, rng = _jit_decode_sample_layered(card, dparams, tok, lc,
-                                                      rng, sampler)
+            tok, lc, rng = _jit_decode_sample_layered(
+                card, dparams, tok, lc, rng, sampler, streaming=streaming)
             steps = [tok]
+        pos_host += k
         for t in steps:
             tok = jnp.where(done, eos_id, t)
             done = done | (tok == eos_id)

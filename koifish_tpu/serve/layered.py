@@ -92,11 +92,19 @@ def _write(buf: jax.Array, val: jax.Array, slots: jax.Array,
 
 
 def decode_step_layered(card: ModelCard, params: Params, token: jax.Array,
-                        lc: LayeredKVCache,
+                        lc: LayeredKVCache, streaming: bool = True,
                         ) -> Tuple[jax.Array, LayeredKVCache]:
     """One decode step over per-layer cache leaves: token [B] -> logits
     [B, V]. Params may be the plain per-layer-list pytree (no stacking
-    needed — the layer loop is unrolled)."""
+    needed — the layer loop is unrolled).
+
+    ``streaming`` (static): False compiles out the per-step sink re-rope
+    — sound whenever no row's pos can reach the window within this
+    executable's steps (the host dispatcher checks pos + k <= size).
+    The rotate is a per-layer cache rewrite; even under lax.cond the
+    false branch pays buffer round-trips (~23% of the Qwen3-0.6B B=32
+    step), so pre-wrap decode uses a separate executable, like the
+    prefill ``fresh`` flag."""
     from koifish_tpu.serve.engine import _decode_rope, _rope_tables
     B = token.shape[0]
     if card.attn == "mla":
@@ -131,7 +139,7 @@ def decode_step_layered(card: ModelCard, params: Params, token: jax.Array,
     for li, lp in enumerate(layers):
         kl, vl = lc.k[li], lc.v[li]
         ksl_in = lc.k_scale[li] if quant else None
-        if inv_freq is not None and lc.fmt is not QFormat.QJL:
+        if streaming and inv_freq is not None and lc.fmt is not QFormat.QJL:
             kl, ksl_rot = kvc.rotate_sink_keys_layer(
                 kl, ksl_in, lc.fmt, lc.sinks, stream_rows, inv_freq)
         else:

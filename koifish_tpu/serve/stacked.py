@@ -47,8 +47,11 @@ def stack_layers(params: Params) -> Optional[Params]:
 
 
 def decode_step_stacked(card: ModelCard, sparams: Params, token: jax.Array,
-                        cache: KVCache) -> Tuple[jax.Array, KVCache]:
-    """One decode step with a lax.scan over the stacked layer axis."""
+                        cache: KVCache, streaming: bool = True,
+                        ) -> Tuple[jax.Array, KVCache]:
+    """One decode step with a lax.scan over the stacked layer axis.
+    ``streaming`` (static): see layered.decode_step_layered — False
+    compiles out the sink re-rope for pre-wrap dispatches."""
     B = token.shape[0]
     if card.attn == "mla":
         positions = jnp.minimum(cache.pos, card.max_pos - 1)[:, None]
@@ -78,7 +81,7 @@ def decode_step_stacked(card: ModelCard, sparams: Params, token: jax.Array,
         else:
             lp, kl, vl = layer_in
             ksl = vsl = None
-        if inv_freq is not None:
+        if streaming and inv_freq is not None:
             kl, ksl = kvc.rotate_sink_keys_layer(
                 kl, ksl, cache.fmt, cache.sinks, stream_rows, inv_freq)
         h = _norm(card, x, lp["ln1"], lp.get("ln1_b"))
