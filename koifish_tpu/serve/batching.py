@@ -144,12 +144,12 @@ class ContinuousBatcher:
         if self.decode_chunk > 1:
             toks_k, _, _ = _jit_decode_sample_layered_k(
                 self.card, self.decode_params, self.cur_tok, pool_copy,
-                self.rng, self.sampler, self.decode_chunk)
+                self.rng, self.sampler, self.decode_chunk, streaming=False)
             jax.block_until_ready(toks_k)
         else:
             tok, _, _ = _jit_decode_sample_layered(
                 self.card, self.decode_params, self.cur_tok, pool_copy,
-                self.rng, self.sampler)
+                self.rng, self.sampler, streaming=False)
             jax.block_until_ready(tok)
 
     # -- admission ----------------------------------------------------------
@@ -212,16 +212,23 @@ class ContinuousBatcher:
         if not active:
             return bool(self.waiting)
         t0 = time.perf_counter()
+        # host-side streaming rule (see engine.generate): every lane's pos
+        # is known on the host (prompt + emitted tokens), so pre-wrap
+        # dispatches use the executable with the sink re-rope compiled out
+        max_pos = max(len(self.slots[s].prompt) + len(self.slots[s].tokens)
+                      for s in active)
+        streaming = max_pos + self.decode_chunk > self.cache_size
         if self.decode_chunk > 1:
             toks_k, self.pool, self.rng = _jit_decode_sample_layered_k(
                 self.card, self.decode_params, self.cur_tok, self.pool,
-                self.rng, self.sampler, self.decode_chunk)
+                self.rng, self.sampler, self.decode_chunk,
+                streaming=streaming)
             steps = toks_k.tolist()                 # [k, B] — one sync
             self.cur_tok = toks_k[-1]
         else:
             tok, self.pool, self.rng = _jit_decode_sample_layered(
                 self.card, self.decode_params, self.cur_tok, self.pool,
-                self.rng, self.sampler)
+                self.rng, self.sampler, streaming=streaming)
             steps = [tok.tolist()]
             self.cur_tok = tok
         dt = time.perf_counter() - t0

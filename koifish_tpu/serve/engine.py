@@ -268,9 +268,11 @@ def _jit_decode_sample_layered_k(card, params, token, lc, rng, sampler, k,
     return toks, lc, rng
 
 
-@functools.partial(jax.jit, static_argnames=("card", "sampler", "k"),
+@functools.partial(jax.jit,
+                   static_argnames=("card", "sampler", "k", "streaming"),
                    donate_argnames=("lc",))
-def _jit_decode_probs_k(card, params, token, lc, rng, sampler, k):
+def _jit_decode_probs_k(card, params, token, lc, rng, sampler, k,
+                        streaming=True):
     """K layered decode steps returning BOTH the sampled tokens and the
     dense filtered distribution each was drawn from — what speculative
     rejection sampling needs (serve/speculative)."""
@@ -279,7 +281,7 @@ def _jit_decode_probs_k(card, params, token, lc, rng, sampler, k):
 
     def body(carry, _):
         tok, lc, rng = carry
-        logits, lc = decode_step_layered(card, params, tok, lc)
+        logits, lc = decode_step_layered(card, params, tok, lc, streaming)
         q = filtered_probs(logits, sampler.temperature, sampler.top_k,
                            sampler.top_p, sampler.min_p,
                         getattr(sampler, 'approx_top_k', False))

@@ -88,13 +88,18 @@ def speculative_generate(
         pend_d = seq[c_drf - prompt_len:]          # emitted, not yet fed
         if len(pend_d) == 2:                       # after an all-accept round
             tok = jnp.asarray(pend_d[0:1], jnp.int32)
+            # streaming=False: both caches are sized to hold the whole
+            # prompt + max_new + k (never wrap), so the sink re-rope can
+            # be compiled out of every speculative dispatch
             _, dlc, rng = _jit_decode_sample_layered(
-                draft_card, draft_params, tok, dlc, rng, sampler)
+                draft_card, draft_params, tok, dlc, rng, sampler,
+                streaming=False)
             c_drf += 1
             pend_d = pend_d[1:]
         tok = jnp.asarray(pend_d[-1:], jnp.int32)
         toks, qs, dlc, rng = _jit_decode_probs_k(
-            draft_card, draft_params, tok, dlc, rng, sampler, k)
+            draft_card, draft_params, tok, dlc, rng, sampler, k,
+            streaming=False)
         drafts = [int(t[0]) for t in toks]          # d1..dk
         q = np.asarray(qs)[:, 0]                    # [k, V]
         c_drf += k                                  # consumed pend + d1..dk-1
