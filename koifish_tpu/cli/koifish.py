@@ -345,7 +345,7 @@ def _run_pipeline(args, p, card, tcard, state, batches, total_steps) -> int:
     mesh = make_mesh({"pp": args.pp}, devices=jax.devices()[: args.pp])
     stage_layers, other = stack_for_pipeline(state.params, args.pp)
     opt = init_opt_state({"stages": stage_layers, "other": other},
-                         tcard.optimizer)
+                         tcard.optimizer, tcard.moment_dtype)
     step = make_pp_train_step(card, tcard, mesh, n_micro, total_steps,
                               schedule=getattr(args, "pp_schedule", "1f1b"))
     print(f"[koifish] pipeline: pp={args.pp} n_micro={n_micro} "

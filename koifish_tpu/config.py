@@ -401,6 +401,12 @@ class TrainCard:
     scheduler: str = "cosine"   # static | cosine | cosine_epoch | wsd | tri_line
     epoch_iters: int = 0        # cosine_epoch restart period (nEpochIter)
     optimizer: str = "adamw"         # adamw | muon | lion | sgd
+    moment_dtype: str = "f32"        # f32 | bf16 moment STORAGE (math is
+                                     # always f32). The reference stores
+                                     # Adam m/v as bf16 (floatMV,
+                                     # g_float.hpp:248) — bf16 halves
+                                     # optimizer HBM (12.5 -> 6.2 GB at
+                                     # GPT2-1558M, what lets AdamW fit)
     weight_decay: float = 0.1
     beta1: float = 0.9
     beta2: float = 0.95
@@ -445,6 +451,8 @@ class TrainCard:
         opt = jt.get("optimizatioin", jt.get("optimization", {}))  # sic — reference key
         card.optimizer = str(opt.get("method", card.optimizer)).lower()
         card.grad_accum = int(opt.get("grad_accumulation", card.grad_accum))
+        card.moment_dtype = str(opt.get("moment_dtype",
+                                        card.moment_dtype)).lower()
         sched = jt.get("scheduler", {})
         if isinstance(sched, str):
             card.scheduler = sched

@@ -76,23 +76,32 @@ def _muon_leaf(p, optimizer: str, path: str = "") -> bool:
     return leaf not in ("wte", "wpe", "head")
 
 
-def init_opt_state(params, optimizer: str = "adamw") -> OptState:
+def init_opt_state(params, optimizer: str = "adamw",
+                   moment_dtype: str = "f32") -> OptState:
     """Moments for float leaves only (integer leaves — e.g. packed QTensor
     codes under gama training — are frozen, stored as size-0 stubs).
     Muon-handled leaves carry no second moment (the reference's PIPE_Muon
     keeps only momentum, Optimizer.cu:487-580) — a size-0 stub instead of
-    a dead params-sized f32 buffer."""
+    a dead params-sized f32 buffer.
+
+    ``moment_dtype``: moment STORAGE dtype — update math is always f32
+    (adamw_update upcasts). "bf16" matches the reference's floatMV
+    (g_float.hpp:248, PIPE_Adamw<floatX, floatMV>) and halves optimizer
+    HBM — the difference between GPT2-1558M AdamW fitting in 16 GB or
+    not."""
+    mdt = jnp.bfloat16 if moment_dtype == "bf16" else jnp.float32
+
     def zeros(p):
         if not _is_float(p):
             return jnp.zeros((0,), jnp.float32)
-        return jnp.zeros(p.shape, jnp.float32)
+        return jnp.zeros(p.shape, mdt)
 
     def zeros_v(kp, p):
         path = ".".join(str(getattr(k, "key", getattr(k, "idx", k)))
                         for k in kp)
         if not _is_float(p) or _muon_leaf(p, optimizer, path):
             return jnp.zeros((0,), jnp.float32)
-        return jnp.zeros(p.shape, jnp.float32)
+        return jnp.zeros(p.shape, mdt)
     m = _tmap(zeros, params)
     v = jax.tree_util.tree_map_with_path(zeros_v, params)
     return OptState(m=m, v=v, step=jnp.zeros((), jnp.int32),
@@ -105,9 +114,10 @@ def init_opt_state(params, optimizer: str = "adamw") -> OptState:
 
 def adamw_update(p, g, m, v, *, lr, beta1, beta2, eps, weight_decay, step,
                  decay_mask=True):
+    mdt, vdt = m.dtype, v.dtype            # storage dtypes (f32 or bf16)
     pf = p.astype(jnp.float32)
-    m = beta1 * m + (1 - beta1) * g
-    v = beta2 * v + (1 - beta2) * jnp.square(g)
+    m = beta1 * m.astype(jnp.float32) + (1 - beta1) * g
+    v = beta2 * v.astype(jnp.float32) + (1 - beta2) * jnp.square(g)
     mhat = m / (1 - beta1 ** step)
     vhat = v / (1 - beta2 ** step)
     upd = mhat / (jnp.sqrt(vhat) + eps)
@@ -117,7 +127,8 @@ def adamw_update(p, g, m, v, *, lr, beta1, beta2, eps, weight_decay, step,
     if decay_mask:
         upd = upd + weight_decay * pf
     new_p = (pf - lr * upd).astype(p.dtype)
-    return new_p, m, v, jnp.sum(spiked, dtype=jnp.int32)
+    return new_p, m.astype(mdt), v.astype(vdt), jnp.sum(spiked,
+                                                        dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -147,8 +158,9 @@ def newton_schulz(G: jax.Array, steps: int = 5) -> jax.Array:
 
 
 def muon_update(p, g, mom, *, lr, momentum, weight_decay):
+    mdt = mom.dtype
     pf = p.astype(jnp.float32)
-    mom = momentum * mom + g
+    mom = momentum * mom.astype(jnp.float32) + g
     u = newton_schulz(momentum * mom + g)  # nesterov-style lookahead
     # RMS-match: scale so the update's RMS is comparable to AdamW's
     u = u * (0.2 * (max(p.shape[0], p.shape[-1]) ** 0.5))
@@ -156,7 +168,7 @@ def muon_update(p, g, mom, *, lr, momentum, weight_decay):
     spiked = jnp.abs(u) > T_SPIKE
     u = jnp.clip(u, -T_SPIKE, T_SPIKE)
     new_p = (pf - lr * (u + weight_decay * pf)).astype(p.dtype)
-    return new_p, mom, jnp.sum(spiked, dtype=jnp.int32)
+    return new_p, mom.astype(mdt), jnp.sum(spiked, dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -326,5 +326,6 @@ def init_train_state(card: ModelCard, tcard: TrainCard,
         from koifish_tpu.models import init_params
         params = init_params(card, key)
     return TrainState(params=params,
-                      opt=init_opt_state(params, tcard.optimizer),
+                      opt=init_opt_state(params, tcard.optimizer,
+                                         tcard.moment_dtype),
                       rng=key)

@@ -26,7 +26,8 @@ import time
 
 
 def run_one(model: str, batch: int, remat, int8: bool, int8_min_kn: int,
-            steps: int = 8) -> dict:
+            steps: int = 8, optimizer: str = "adamw",
+            moment_dtype: str = "f32") -> dict:
     """One config in a FRESH subprocess (isolates OOM/compile failures)."""
     code = f"""
 import time
@@ -44,7 +45,8 @@ MODELS = {{
                 max_pos=1024),
 }}
 card = ModelCard.from_arch("GPT2", **MODELS["{model}"])
-tcard = TrainCard(batch={batch}, lr=6e-4, warmup=10, optimizer="adamw",
+tcard = TrainCard(batch={batch}, lr=6e-4, warmup=10, optimizer="{optimizer}",
+                  moment_dtype="{moment_dtype}",
                   remat={remat!r}, int8_matmul={int8},
                   int8_min_kn={int8_min_kn})
 step = make_train_step(card, tcard, total_steps=1000)
@@ -91,25 +93,39 @@ def main():
     args = ap.parse_args()
     models = ["774m", "1558m"] if args.model == "both" else [args.model]
 
+    # Round-3 sweep 1 results (f32 moments, adamw): 774m best = B=8
+    # remat=False int8 24.7K (mfu .62); every B>=16 774m config and EVERY
+    # 1558m adamw config OOM'd — AdamW f32 moments alone are 12.5 GB at
+    # 1558M. Sweep 2 adds the two memory levers: bf16 moment storage
+    # (reference floatMV parity) and Muon (no second moment at all).
     grids = {
         "774m": [
-            # r2 best: B=8 remat=dots 22.0K — the baseline row
-            dict(batch=8, remat="dots", int8=False, int8_min_kn=1 << 24),
-            dict(batch=8, remat="dots", int8=True, int8_min_kn=4 << 20),
-            dict(batch=16, remat="dots", int8=False, int8_min_kn=1 << 24),
-            dict(batch=16, remat="dots", int8=True, int8_min_kn=4 << 20),
-            dict(batch=8, remat=False, int8=False, int8_min_kn=1 << 24),
             dict(batch=8, remat=False, int8=True, int8_min_kn=4 << 20),
-            dict(batch=16, remat=False, int8=True, int8_min_kn=4 << 20),
-            dict(batch=32, remat="dots", int8=True, int8_min_kn=4 << 20),
+            dict(batch=16, remat=False, int8=False, int8_min_kn=1 << 24,
+                 moment_dtype="bf16"),
+            dict(batch=16, remat=False, int8=True, int8_min_kn=4 << 20,
+                 moment_dtype="bf16"),
+            dict(batch=16, remat="dots", int8=True, int8_min_kn=4 << 20,
+                 moment_dtype="bf16"),
+            dict(batch=16, remat=False, int8=True, int8_min_kn=4 << 20,
+                 optimizer="muon"),
         ],
         "1558m": [
-            dict(batch=8, remat=True, int8=False, int8_min_kn=1 << 24),
-            dict(batch=4, remat="dots", int8=False, int8_min_kn=1 << 24),
-            dict(batch=4, remat="dots", int8=True, int8_min_kn=4 << 20),
-            dict(batch=8, remat="dots", int8=True, int8_min_kn=4 << 20),
-            dict(batch=8, remat=True, int8=True, int8_min_kn=4 << 20),
-            dict(batch=16, remat=True, int8=True, int8_min_kn=4 << 20),
+            # r2 baseline: B=8 full remat muon = 7.1K
+            dict(batch=8, remat=True, int8=False, int8_min_kn=1 << 24,
+                 optimizer="muon"),
+            dict(batch=8, remat="dots", int8=False, int8_min_kn=1 << 24,
+                 optimizer="muon"),
+            dict(batch=8, remat="dots", int8=True, int8_min_kn=4 << 20,
+                 optimizer="muon"),
+            dict(batch=4, remat="dots", int8=False, int8_min_kn=1 << 24,
+                 moment_dtype="bf16"),
+            dict(batch=8, remat="dots", int8=False, int8_min_kn=1 << 24,
+                 moment_dtype="bf16"),
+            dict(batch=8, remat=True, int8=True, int8_min_kn=4 << 20,
+                 moment_dtype="bf16"),
+            dict(batch=8, remat=False, int8=False, int8_min_kn=1 << 24,
+                 optimizer="muon"),
         ],
     }
     if args.quick:
@@ -120,7 +136,9 @@ def main():
         for cfg in grids[model]:
             tag = (f"{model} B={cfg['batch']} remat={cfg['remat']} "
                    f"int8={cfg['int8']}"
-                   + (f"@kn>={cfg['int8_min_kn']>>20}M" if cfg["int8"] else ""))
+                   + (f"@kn>={cfg['int8_min_kn']>>20}M" if cfg["int8"] else "")
+                   + f" opt={cfg.get('optimizer', 'adamw')}"
+                   + f" mdt={cfg.get('moment_dtype', 'f32')}")
             print(f"[sweep] {tag} ...", flush=True)
             r = run_one(model, **cfg)
             r["tag"] = tag
