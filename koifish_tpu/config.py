@@ -418,6 +418,7 @@ class TrainCard:
                                      # True=full, "dots"=save GEMM outputs, False=off
     int8_matmul: bool = False        # int8 fwd matmuls (FP8-GEMM analog)
     int8_wgrad: bool = False         # experimental: int8 wgrad too
+    int8_dgrad: bool = False         # int8 dgrad (scale-folded dy)
     int8_min_kn: int = 1 << 24       # K*N weight-size gate (ops/int8_train)
     dump_every: int = 10
     eval_every: int = 100

@@ -64,13 +64,22 @@ def _i8dot(a, b, dims):
                                preferred_element_type=jnp.int32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def int8_matmul(x: jax.Array, w: jax.Array, wgrad: bool = False) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def int8_matmul(x: jax.Array, w: jax.Array, wgrad: bool = False,
+                dgrad: bool = False) -> jax.Array:
     """x [..., K] @ w [K, N]: int8 forward (fused scale epilogue), bf16
-    dgrad/wgrad against the dequantized forward codes. ``wgrad=True``
-    additionally runs the (measured-harmful, experimental) int8 wgrad —
-    static so the bwd trace can't depend on ambient state."""
-    return _fwd(x, w, wgrad)[0]
+    dgrad/wgrad against the dequantized forward codes by default —
+    static flags so the bwd trace can't depend on ambient state.
+
+    ``dgrad=True``: int8 dgrad that REUSES the forward's int8 codes via
+    scale folding. w's per-column scales s_w[N] ride the contracted dim
+    of dy @ w^T, so they can't factor out of an int8 dot — but
+    dx = dy @ (c . s_w)^T = (dy . s_w) @ c^T: fold s_w into dy first
+    (one fusable elementwise pass), then rowwise-quantize the folded dy.
+    No weight requantization, both MXU operands int8.
+
+    ``wgrad=True``: the (measured-harmful, experimental) int8 wgrad."""
+    return _fwd(x, w, wgrad, dgrad)[0]
 
 
 def _fwd_impl(x2, wq, sw):
@@ -79,7 +88,7 @@ def _fwd_impl(x2, wq, sw):
     return acc.astype(jnp.float32) * sx * sw
 
 
-def _fwd(x, w, wgrad):
+def _fwd(x, w, wgrad, dgrad):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     wq, sw = _colwise_q8(w)
@@ -90,16 +99,22 @@ def _fwd(x, w, wgrad):
     return y, (x, wq, sw, jnp.zeros((0,), w.dtype))
 
 
-def _bwd(wgrad, res, g):
+def _bwd(wgrad, dgrad, res, g):
     x, wq, sw, wstub = res
     lead = x.shape[:-1]
     g2 = g.reshape(-1, g.shape[-1])
 
-    # dgrad: bf16 dot against the dequantized forward codes — the dy
-    # operand is read once by the dot, never re-read by a quant pass.
-    wd = (wq.astype(jnp.float32) * sw).astype(jnp.bfloat16)   # [K, N]
-    dx = jnp.dot(g2.astype(jnp.bfloat16), wd.T,
-                 preferred_element_type=jnp.float32)
+    if dgrad:
+        # int8 dgrad, scale-folded: dx = (dy . s_w) @ codes^T (docstring)
+        gs = g2.astype(jnp.float32) * sw                      # [M, N]
+        gq, sg = _rowwise_q8(gs)
+        dx = _i8dot(gq, wq, ((1,), (1,))).astype(jnp.float32) * sg
+    else:
+        # dgrad: bf16 dot against the dequantized forward codes — the dy
+        # operand is read once by the dot, never re-read by a quant pass.
+        wd = (wq.astype(jnp.float32) * sw).astype(jnp.bfloat16)  # [K, N]
+        dx = jnp.dot(g2.astype(jnp.bfloat16), wd.T,
+                     preferred_element_type=jnp.float32)
     dx = dx.reshape(*lead, x.shape[-1]).astype(x.dtype)
 
     x2 = x.reshape(-1, x.shape[-1])

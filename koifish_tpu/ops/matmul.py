@@ -63,7 +63,7 @@ def qmatmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
         pol = current_int8()
         if pol is not None and pol.applies(w.shape):
             from koifish_tpu.ops.int8_train import int8_matmul
-            return int8_matmul(x, w, pol.wgrad).astype(out_dtype)
+            return int8_matmul(x, w, pol.wgrad, pol.dgrad).astype(out_dtype)
     wd = _dequant(w, x.dtype)
     # emit the dot at the target dtype directly: dot->f32->convert(bf16)
     # leaves an f32 alias that XLA happily re-uses for other consumers —

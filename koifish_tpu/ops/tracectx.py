@@ -24,6 +24,7 @@ class Int8Policy:
     """Dynamic-range int8 training matmuls (ops/int8_train.py) — the TPU
     analog of the reference's FP8 GEMMs (operator.cuh:519-571)."""
     wgrad: bool = False
+    dgrad: bool = False               # int8 dgrad via scale-folded dy
     min_weight_elems: int = 1 << 24   # K*N gate: head-sized and up
 
     def applies(self, shape) -> bool:

@@ -90,7 +90,7 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
                attention with T sharded over the axis)
     """
     from koifish_tpu.ops.tracectx import (Int8Policy, int8_scope, sp_scope)
-    int8_pol = (Int8Policy(wgrad=tcard.int8_wgrad,
+    int8_pol = (Int8Policy(wgrad=tcard.int8_wgrad, dgrad=tcard.int8_dgrad,
                            min_weight_elems=tcard.int8_min_kn)
                 if tcard.int8_matmul else None)
 

@@ -1,17 +1,38 @@
-"""Profile the real GPT2-124M train step: on-device op breakdown."""
+"""Profile a GPT2 train step on the attached chip: on-device op breakdown.
+
+Usage: python prof_step.py [--model 124m|774m|1558m] [--batch N] [--int8]
+       [--remat off|dots|full] [--opt adamw|muon] [--mdt f32|bf16]
+"""
 import glob, gzip, json, collections, sys, time
 import jax, jax.numpy as jnp
 
 from koifish_tpu.config import ModelCard, TrainCard
 from koifish_tpu.train.trainer import init_train_state, make_train_step
 
+_DIMS = {
+    "124m": dict(n_layer=12, n_embd=768, n_head=12, n_ffn=3072),
+    "774m": dict(n_layer=36, n_embd=1280, n_head=20, n_ffn=5120),
+    "1558m": dict(n_layer=48, n_embd=1600, n_head=25, n_ffn=6400),
+}
+
+
+def _arg(flag, default):
+    return sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else default
+
+
+model = _arg("--model", "124m")
+d = _DIMS[model]
 card = ModelCard.from_arch(
-    "GPT2", vocab_size=50304, n_layer=12, n_embd=768, n_head=12,
-    n_kv_head=12, head_dim=64, n_ffn=3072, n_ctx=1024, max_pos=1024)
-B = 16
+    "GPT2", vocab_size=50304, n_kv_head=d["n_head"], head_dim=64,
+    n_ctx=1024, max_pos=1024, **d)
+B = int(_arg("--batch", {"124m": 16, "774m": 8, "1558m": 8}[model]))
 int8 = "--int8" in sys.argv
-tcard = TrainCard(batch=B, lr=6e-4, warmup=10, optimizer="adamw", remat=False,
-                  int8_matmul=int8, int8_wgrad="--wgrad" in sys.argv)
+remat = {"off": False, "dots": "dots", "full": True}[_arg("--remat", "off")]
+tcard = TrainCard(batch=B, lr=6e-4, warmup=10,
+                  optimizer=_arg("--opt", "adamw"),
+                  moment_dtype=_arg("--mdt", "f32"), remat=remat,
+                  int8_matmul=int8, int8_min_kn=4 << 20,
+                  int8_wgrad="--wgrad" in sys.argv)
 step = make_train_step(card, tcard, total_steps=1000)
 state = init_train_state(card, tcard)
 key = jax.random.PRNGKey(0)
@@ -29,7 +50,7 @@ float(metrics["loss"])
 wall = (time.perf_counter() - t0) / 8
 print(f"wall: {wall*1e3:.1f} ms/step  {B*1024/wall/1e3:.1f}K tok/s")
 
-outdir = f"/tmp/prof_train{'_int8' if int8 else ''}"
+outdir = f"/tmp/prof_train_{model}{'_int8' if int8 else ''}"
 jax.profiler.start_trace(outdir)
 for _ in range(3):
     state, metrics = step(state, batch)

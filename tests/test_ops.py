@@ -81,6 +81,22 @@ def test_int8_matmul_wgrad_mode():
     assert rel < 0.1, rel
 
 
+def test_int8_matmul_dgrad_mode():
+    """int8 dgrad via scale folding (dx = (dy . s_w) @ codes^T) stays
+    within quantization-noise distance of the bf16 dgrad AND of the true
+    gradient."""
+    from koifish_tpu.ops.int8_train import int8_matmul
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (64, 256), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (256, 512), jnp.bfloat16) * 0.05
+    gx = jax.grad(lambda x: (int8_matmul(x, w, False, True
+                                         ).astype(jnp.float32) ** 2).sum())(x)
+    gr = jax.grad(lambda x: (jnp.dot(x, w).astype(jnp.float32) ** 2).sum())(x)
+    rel = float(jnp.linalg.norm(gx.astype(jnp.float32) - gr.astype(jnp.float32))
+                / (jnp.linalg.norm(gr.astype(jnp.float32)) + 1e-9))
+    assert rel < 0.1, rel
+
+
 def test_int8_train_step_converges():
     """int8-forward training learns the +1 pattern like bf16 does."""
     import numpy as np

@@ -27,7 +27,7 @@ import time
 
 def run_one(model: str, batch: int, remat, int8: bool, int8_min_kn: int,
             steps: int = 8, optimizer: str = "adamw",
-            moment_dtype: str = "f32") -> dict:
+            moment_dtype: str = "f32", dgrad: bool = False) -> dict:
     """One config in a FRESH subprocess (isolates OOM/compile failures)."""
     code = f"""
 import time
@@ -47,7 +47,7 @@ MODELS = {{
 card = ModelCard.from_arch("GPT2", **MODELS["{model}"])
 tcard = TrainCard(batch={batch}, lr=6e-4, warmup=10, optimizer="{optimizer}",
                   moment_dtype="{moment_dtype}",
-                  remat={remat!r}, int8_matmul={int8},
+                  remat={remat!r}, int8_matmul={int8}, int8_dgrad={dgrad},
                   int8_min_kn={int8_min_kn})
 step = make_train_step(card, tcard, total_steps=1000)
 state = init_train_state(card, tcard)
@@ -93,39 +93,31 @@ def main():
     args = ap.parse_args()
     models = ["774m", "1558m"] if args.model == "both" else [args.model]
 
-    # Round-3 sweep 1 results (f32 moments, adamw): 774m best = B=8
-    # remat=False int8 24.7K (mfu .62); every B>=16 774m config and EVERY
-    # 1558m adamw config OOM'd — AdamW f32 moments alone are 12.5 GB at
-    # 1558M. Sweep 2 adds the two memory levers: bf16 moment storage
-    # (reference floatMV parity) and Muon (no second moment at all).
+    # Sweep-2 results (bf16 moments + muon): 774m best 24.7K (B=16
+    # no-remat int8 bf16-mdt, mfu .62); 1558m best 10.36K (B=8 FULL remat
+    # int8 bf16-mdt, mfu .52 — int8 fwd also cheapens the remat
+    # recompute) then 9.96K (B=4 dots bf16-mdt). Muon loses: NS iterations
+    # cost ~15% and f32 momentum forces full remat at 1558m.
+    # Sweep 3: int8 dgrad (scale-folded dy) + batch fills around the two
+    # winners.
     grids = {
         "774m": [
-            dict(batch=8, remat=False, int8=True, int8_min_kn=4 << 20),
-            dict(batch=16, remat=False, int8=False, int8_min_kn=1 << 24,
-                 moment_dtype="bf16"),
             dict(batch=16, remat=False, int8=True, int8_min_kn=4 << 20,
+                 moment_dtype="bf16", dgrad=True),
+            dict(batch=24, remat=False, int8=True, int8_min_kn=4 << 20,
                  moment_dtype="bf16"),
-            dict(batch=16, remat="dots", int8=True, int8_min_kn=4 << 20,
-                 moment_dtype="bf16"),
-            dict(batch=16, remat=False, int8=True, int8_min_kn=4 << 20,
-                 optimizer="muon"),
+            dict(batch=24, remat=False, int8=True, int8_min_kn=4 << 20,
+                 moment_dtype="bf16", dgrad=True),
         ],
         "1558m": [
-            # r2 baseline: B=8 full remat muon = 7.1K
-            dict(batch=8, remat=True, int8=False, int8_min_kn=1 << 24,
-                 optimizer="muon"),
-            dict(batch=8, remat="dots", int8=False, int8_min_kn=1 << 24,
-                 optimizer="muon"),
-            dict(batch=8, remat="dots", int8=True, int8_min_kn=4 << 20,
-                 optimizer="muon"),
-            dict(batch=4, remat="dots", int8=False, int8_min_kn=1 << 24,
-                 moment_dtype="bf16"),
-            dict(batch=8, remat="dots", int8=False, int8_min_kn=1 << 24,
-                 moment_dtype="bf16"),
             dict(batch=8, remat=True, int8=True, int8_min_kn=4 << 20,
+                 moment_dtype="bf16", dgrad=True),
+            dict(batch=16, remat=True, int8=True, int8_min_kn=4 << 20,
                  moment_dtype="bf16"),
-            dict(batch=8, remat=False, int8=False, int8_min_kn=1 << 24,
-                 optimizer="muon"),
+            dict(batch=16, remat=True, int8=True, int8_min_kn=4 << 20,
+                 moment_dtype="bf16", dgrad=True),
+            dict(batch=4, remat="dots", int8=True, int8_min_kn=4 << 20,
+                 moment_dtype="bf16", dgrad=True),
         ],
     }
     if args.quick:
@@ -137,6 +129,7 @@ def main():
             tag = (f"{model} B={cfg['batch']} remat={cfg['remat']} "
                    f"int8={cfg['int8']}"
                    + (f"@kn>={cfg['int8_min_kn']>>20}M" if cfg["int8"] else "")
+                   + (" +dgrad" if cfg.get("dgrad") else "")
                    + f" opt={cfg.get('optimizer', 'adamw')}"
                    + f" mdt={cfg.get('moment_dtype', 'f32')}")
             print(f"[sweep] {tag} ...", flush=True)
