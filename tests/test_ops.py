@@ -121,6 +121,29 @@ def test_int8_train_step_converges():
     assert losses[-1] < losses[0] * 0.6, losses
 
 
+def test_int8_dgrad_train_step_converges():
+    """int8 fwd + int8 dgrad (scale-folded dy) training still learns."""
+    from koifish_tpu.config import ModelCard, TrainCard
+    from koifish_tpu.train.trainer import init_train_state, make_train_step
+    card = ModelCard.from_arch("QWEN3", vocab_size=128, n_layer=2, n_embd=256,
+                               n_head=4, n_kv_head=2, head_dim=64, n_ffn=256,
+                               n_ctx=32, max_pos=64)
+    tcard = TrainCard(batch=8, lr=0.01, warmup=3, dump_every=100,
+                      int8_matmul=True, int8_dgrad=True, int8_min_kn=0)
+    state = init_train_state(card, tcard)
+    step = make_train_step(card, tcard, total_steps=20)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(15):
+        key, k = jax.random.split(key)
+        s = jax.random.randint(k, (8, 1), 0, 64)
+        batch = {"tokens": ((s + jnp.arange(33)[None]) % 64)[None
+                 ].astype(jnp.int32)}
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.6, losses
+
+
 def test_int8_fused_ce_loss_parity():
     """int8 chunk dots in the fused classifier (the FP8 head-GEMM analog)
     must track the bf16 loss curve closely — the head is the one weight

@@ -293,3 +293,39 @@ def test_qmv_int8_mxu_matches_ref():
                            ).astype(jnp.float32)
     err = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-9))
     assert err < 0.02, err
+
+
+def test_slot_write_matches_masked_select():
+    """Block-local per-lane KV slot write == the masked-select oracle,
+    across dtypes (int8 codes, packed-int4 bytes, bf16) and slot layouts
+    (straddling block boundaries, duplicate slots across lanes)."""
+    import numpy as np
+    from koifish_tpu.ops.pallas import slotwrite as psw
+    from koifish_tpu.serve import kvcache as kvc
+    psw.set_interpret(True)
+    try:
+        B, H, S, D = 4, 8, 128, 128
+        key = jax.random.PRNGKey(0)
+        for dtype, dc in ((jnp.int8, D), (jnp.uint8, D // 2),
+                          (jnp.bfloat16, D)):
+            if dtype == jnp.bfloat16:
+                buf = jax.random.normal(key, (B, H, S, dc), dtype)
+                val = jax.random.normal(jax.random.PRNGKey(1), (B, H, dc),
+                                        dtype)
+            else:
+                buf = jax.random.randint(key, (B, H, S, dc), 0, 120
+                                         ).astype(dtype)
+                val = jax.random.randint(jax.random.PRNGKey(1), (B, H, dc),
+                                         0, 120).astype(dtype)
+            for slots in ([0, 31, 32, 127], [5, 5, 64, 99]):
+                sl = jnp.asarray(slots, jnp.int32)
+                got = psw.slot_write_or_none(buf, val, sl)
+                assert got is not None
+                S_ = buf.shape[2]
+                mask = (jnp.arange(S_)[None, :] == sl[:, None])[:, None, :,
+                                                                None]
+                want = jnp.where(mask, val[:, :, None, :], buf)
+                np.testing.assert_array_equal(np.asarray(got),
+                                              np.asarray(want))
+    finally:
+        psw.set_interpret(False)

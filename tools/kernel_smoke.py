@@ -210,6 +210,31 @@ def main() -> int:
         return _rel(out, want)
     guarded("qjl decode attention", _qjl, tol=0.05)
 
+    # --- per-lane KV slot write (scatter-free block-local) ----------------
+    from koifish_tpu.ops.pallas import slotwrite as psw
+
+    def _slotw(dtype, dc):
+        B, H, S = 8, 8, 1024
+        if dtype == jnp.bfloat16:
+            buf = jax.random.normal(jax.random.PRNGKey(0), (B, H, S, dc),
+                                    dtype)
+            val = jax.random.normal(jax.random.PRNGKey(1), (B, H, dc), dtype)
+        else:
+            buf = jax.random.randint(jax.random.PRNGKey(0), (B, H, S, dc),
+                                     0, 120).astype(dtype)
+            val = jax.random.randint(jax.random.PRNGKey(1), (B, H, dc),
+                                     0, 120).astype(dtype)
+        sl = jnp.asarray([0, 31, 32, 700, 701, 1023, 512, 5], jnp.int32)
+        got = psw.slot_write_or_none(buf, val, sl)
+        assert got is not None, "kernel ineligible"
+        mask = (jnp.arange(S)[None, :] == sl[:, None])[:, None, :, None]
+        want = jnp.where(mask, val[:, :, None, :], buf)
+        return float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                     - want.astype(jnp.float32))))
+    guarded("slot_write int8", lambda: _slotw(jnp.int8, 128), tol=1e-6)
+    guarded("slot_write uint4x2", lambda: _slotw(jnp.uint8, 64), tol=1e-6)
+    guarded("slot_write bf16", lambda: _slotw(jnp.bfloat16, 128), tol=1e-6)
+
     # --- int8 training quantize kernels ------------------------------------
     from koifish_tpu.ops.pallas.quantize import colquant, rowquant
     x = jax.random.normal(jax.random.PRNGKey(8), (512, 1024), jnp.bfloat16)
