@@ -454,6 +454,9 @@ class TrainCard:
         card.grad_accum = int(opt.get("grad_accumulation", card.grad_accum))
         card.moment_dtype = str(opt.get("moment_dtype",
                                         card.moment_dtype)).lower()
+        card.int8_matmul = bool(opt.get("int8_matmul", card.int8_matmul))
+        card.int8_dgrad = bool(opt.get("int8_dgrad", card.int8_dgrad))
+        card.int8_min_kn = int(opt.get("int8_min_kn", card.int8_min_kn))
         sched = jt.get("scheduler", {})
         if isinstance(sched, str):
             card.scheduler = sched

@@ -401,3 +401,22 @@ def test_real_reference_configs_parse(fname, arch, layers, embd):
     assert p.model.arch == arch
     assert p.model.n_layer == layers
     assert p.model.n_embd == embd
+
+
+def test_repo_configs_parse():
+    """Every shipped config under configs/ parses into consistent cards
+    (the tuned big-model configs carry the sweep-measured train flags)."""
+    import glob
+    import json as _json
+
+    from koifish_tpu.config import CLIParams
+    paths = sorted(glob.glob("configs/*.json"))
+    assert len(paths) >= 5, paths
+    for p in paths:
+        cp = CLIParams.from_json(_json.load(open(p)))
+        assert cp.model.n_layer > 0 and cp.model.vocab_size > 0, p
+        assert cp.train.batch > 0, p
+    big = CLIParams.from_json(_json.load(open("configs/gpt2_1558m.json")))
+    assert big.train.remat is True and big.train.int8_matmul
+    assert big.train.moment_dtype == "bf16"
+    assert big.train.int8_min_kn == 4 << 20
