@@ -55,9 +55,20 @@ def _platform_is_tpu() -> bool:
 def _kernel(slots_ref, buf_ref, val_ref, o_ref, *, H):
     b = pl.program_id(0)
     row = slots_ref[b] % SB
-    o_ref[:] = buf_ref[:]
+    # The row update is a masked vector select over the (already
+    # VMEM-resident) block, NOT a dynamic-index store: a dynamic sublane
+    # store into an int8 (32,128)-tiled block fails Mosaic lowering
+    # (HTTP 500 from the compile helper), and sub-word vector selects
+    # have failed on chip before — widen to f32 (exact for int8/uint8/
+    # bf16 payloads) and narrow on the way out.
+    wide = (jnp.int32 if jnp.issubdtype(o_ref.dtype, jnp.integer)
+            else jnp.float32)   # Mosaic has no uint8->f32 cast either
     for h in range(H):                       # H unrolled (small)
-        o_ref[0, h, pl.dslice(row, 1), :] = val_ref[0, h][None, :]
+        blk = buf_ref[0, h].astype(wide)                 # [SB, Dc]
+        v = val_ref[0, h].astype(wide)                   # [Dc]
+        rows = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
+        o_ref[0, h] = jnp.where(rows == row, v[None, :],
+                                blk).astype(o_ref.dtype)
 
 
 def _slot_write_call(buf, val, slots):

@@ -86,24 +86,36 @@ def main() -> int:
             return _rel(out, ref)
         guarded(f"qmv_int8_mxu m={m}", _run_i8)
     if not quick:
+        # timing must go through ONE jitted callable with a loop-carried
+        # dependency — eager per-call dispatch re-traces on the tunneled
+        # runtime and measures milliseconds of host overhead, not the
+        # kernel (first version printed 18 ms / 616 ms here)
         import time as _t
-        x = jax.random.normal(jax.random.PRNGKey(7), (32, 1024), jnp.bfloat16)
-        for name, fn in (
-            ("bf16-dot GEMV", lambda: pmm.qmatmul_pallas_or_ref(
-                x, qt8, jnp.float32)),
-            ("int8-MXU GEMV", lambda: pmm.qmv_int8_mxu(
-                x, qt8.codes, qt8.scales, group=128, k=1024)),
-        ):
+        x0 = jax.random.normal(jax.random.PRNGKey(7), (32, 1024),
+                               jnp.bfloat16)
+
+        def _timed(name, one):
+            @jax.jit
+            def reps(x):
+                def body(x, _):
+                    y = one(x)
+                    return (x + y[:, :1] * 1e-6).astype(x.dtype), ()
+                x, _ = jax.lax.scan(body, x, None, length=50)
+                return x
             try:
-                fn().block_until_ready()
+                float(reps(x0)[0, 0])              # compile + warm
                 t0 = _t.perf_counter()
-                for _ in range(50):
-                    y = fn()
-                float(y[0, 0])
+                float(reps(x0)[0, 0])
                 print(f"  [timing] {name}: "
-                      f"{(_t.perf_counter() - t0) / 50 * 1e6:.1f} us")
+                      f"{(_t.perf_counter() - t0) / 50 * 1e6:.1f} us/call")
             except Exception as e:  # timing is advisory, never fails smoke
                 print(f"  [timing] {name}: failed {e!r}")
+
+        _timed("bf16-dot GEMV", lambda x: pmm.qmatmul_pallas_or_ref(
+            x, qt8, jnp.float32)[:, :512])
+        _timed("int8-MXU GEMV", lambda x: pmm.qmv_int8_mxu(
+            x, qt8.codes, qt8.scales, group=128, k=1024
+            ).astype(jnp.float32)[:, :512])
 
     # --- flash attention fwd/bwd (incl. sliding window) -------------------
     from koifish_tpu.ops.attention import causal_attention
@@ -197,16 +209,17 @@ def main() -> int:
         out = qjl_decode_attention(qd, kq_b, knorm, vf, valid, proj,
                                    1.0 / Dd ** 0.5)
         m = proj.shape[1]
+        g = qd.shape[1] // H                   # GQA: g query heads per kv
         qp = jnp.einsum("bhd,dm->bhm", qd.astype(jnp.float32), proj,
-                        precision="highest")
+                        precision="highest").reshape(B, H, g, m)
         signs = qjl_unpack_signs(kq_b)                      # [B,H,S,m]
-        est = jnp.einsum("bhm,bhsm->bhs", qp, signs,
+        est = jnp.einsum("bhgm,bhsm->bhgs", qp, signs,
                          precision="highest")
-        est = est * (_SQRT_PI_OVER_2 / m) * knorm / Dd ** 0.5
-        est = jnp.where(valid[:, None, :], est, -1e30)
+        est = est * (_SQRT_PI_OVER_2 / m) * knorm[:, :, None, :] / Dd ** 0.5
+        est = jnp.where(valid[:, None, None, :], est, -1e30)
         p = jax.nn.softmax(est, axis=-1)
-        want = jnp.einsum("bhs,bhsd->bhd", p, vf.astype(jnp.float32),
-                          precision="highest")
+        want = jnp.einsum("bhgs,bhsd->bhgd", p, vf.astype(jnp.float32),
+                          precision="highest").reshape(B, H * g, Dd)
         return _rel(out, want)
     guarded("qjl decode attention", _qjl, tol=0.05)
 
