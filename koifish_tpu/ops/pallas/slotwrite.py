@@ -96,6 +96,60 @@ def _slot_write_call(buf, val, slots):
     )(slots, buf, val)
 
 
+def _page_kernel(pids_ref, rows_ref, pages_ref, val_ref, o_ref, *, H):
+    b = pl.program_id(0)
+    row = rows_ref[b]
+    wide = (jnp.int32 if jnp.issubdtype(o_ref.dtype, jnp.integer)
+            else jnp.float32)
+    for h in range(H):
+        blk = pages_ref[h, 0].astype(wide)               # [PAGE, D]
+        v = val_ref[0, h].astype(wide)                   # [D]
+        rr = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
+        o_ref[h, 0] = jnp.where(rr == row, v[None, :],
+                                blk).astype(o_ref.dtype)
+
+
+def page_write_or_none(pages: jax.Array, val: jax.Array,
+                       page_ids: jax.Array, rows: jax.Array):
+    """Paged-pool variant (serve/paged.py): pages [H, NP, P, D] <- val
+    [B, H, D] at (page_ids[b], rows[b]). Same block-local masked-select
+    pattern as slot_write; one page DMA'd per lane.
+
+    CONTRACT: ``page_ids`` must be distinct across lanes (each lane owns
+    its pages — PageAllocator guarantees it). Two lanes addressing the
+    same page would race the per-program block writeback."""
+    if pages.ndim != 4 or not _platform_is_tpu():
+        return None
+    H, NP, P, D = pages.shape
+    if P % 8 != 0 or D % 64 != 0 or H > 16:
+        return None
+    if pages.dtype not in (jnp.int8, jnp.uint8, jnp.bfloat16, jnp.float32):
+        return None
+    B = val.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((H, 1, P, D),
+                         lambda b, pids, rows: (0, pids[b], 0, 0)),
+            pl.BlockSpec((1, H, D), lambda b, pids, rows: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((H, 1, P, D),
+                               lambda b, pids, rows: (0, pids[b], 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_page_kernel, H=H),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pages.shape, pages.dtype),
+        input_output_aliases={2: 0},     # pages (after the two scalars)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_INTERPRET,
+    )(page_ids.astype(jnp.int32), rows.astype(jnp.int32), pages,
+      val.astype(pages.dtype))
+
+
 def slot_write_or_none(buf: jax.Array, val: jax.Array, slots: jax.Array):
     """buf [B, H, S, Dc] <- val [B, H, Dc] at per-lane rows slots [B].
     Returns the updated buffer, or None when the kernel is ineligible

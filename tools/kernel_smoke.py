@@ -248,6 +248,39 @@ def main() -> int:
     guarded("slot_write uint4x2", lambda: _slotw(jnp.uint8, 64), tol=1e-6)
     guarded("slot_write bf16", lambda: _slotw(jnp.bfloat16, 128), tol=1e-6)
 
+    # --- paged KV: page writer + TPU paged_attention read path -------------
+    def _pagew():
+        from koifish_tpu.serve.paged import PAGE, _page_write_ref
+        H, NP, D, Bp = 8, 16, 128, 8
+        pages = jax.random.normal(jax.random.PRNGKey(0), (H, NP, PAGE, D),
+                                  jnp.bfloat16)
+        pv = jax.random.normal(jax.random.PRNGKey(1), (Bp, H, D),
+                               jnp.bfloat16)
+        pids = jnp.asarray([0, 2, 4, 6, 8, 10, 12, 15], jnp.int32)
+        rows = jnp.asarray([0, 1, 7, 63, 64, 100, 126, 127], jnp.int32)
+        from koifish_tpu.ops.pallas.slotwrite import page_write_or_none
+        got = page_write_or_none(pages, pv, pids, rows)
+        assert got is not None, "kernel ineligible"
+        return _rel(got, _page_write_ref(pages, pv, pids, rows))
+    guarded("page_write", _pagew, tol=1e-6)
+
+    def _paged_read():
+        from koifish_tpu.serve.paged import (PAGE, _paged_attention,
+                                             _paged_attention_ref)
+        Hkv, NP, D, Bp, maxp = 8, 32, 128, 4, 8
+        kp = jax.random.normal(jax.random.PRNGKey(0), (Hkv, NP, PAGE, D),
+                               jnp.bfloat16) * 0.5
+        vp = jax.random.normal(jax.random.PRNGKey(1), (Hkv, NP, PAGE, D),
+                               jnp.bfloat16) * 0.5
+        qq = jax.random.normal(jax.random.PRNGKey(2), (Bp, 2 * Hkv, D),
+                               jnp.bfloat16)
+        tbl = jnp.arange(Bp * maxp, dtype=jnp.int32).reshape(Bp, maxp) % NP
+        lens = jnp.asarray([5, 130, 700, 1024], jnp.int32)
+        out = _paged_attention(qq, kp, vp, lens, tbl, 1.0 / D ** 0.5)
+        ref = _paged_attention_ref(qq, kp, vp, lens, tbl, 1.0 / D ** 0.5)
+        return _rel(out, ref)
+    guarded("paged_attention read", _paged_read, tol=0.05)
+
     # --- int8 training quantize kernels ------------------------------------
     from koifish_tpu.ops.pallas.quantize import colquant, rowquant
     x = jax.random.normal(jax.random.PRNGKey(8), (512, 1024), jnp.bfloat16)
