@@ -39,9 +39,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
-BS = 512          # S tile
+# Tile/program sizing measured on v5e (B=32, Hkv=8, S=1024, D=128 INT8,
+# jitted-scan micro): the kernel is PROGRAM-overhead-bound, not
+# HBM-bound — HB=16/BS=1024 (16 programs) runs 649 us vs 1151 us for
+# HB=8/BS=512 (64 programs) at len=150, and 720 vs 733 at len=1000.
+BS = 1024         # preferred S tile (falls back to 512 when S % 1024 != 0)
 GPAD = 8          # q head-group rows padded to sublane count
-HB = 8            # (batch, head) pairs per grid program
+HB = 16           # (batch, head) pairs per grid program
 
 _INTERPRET = False
 
@@ -75,9 +79,10 @@ def decode_attention_quant_or_none(
     bh = b * hkv
     int4 = k_codes.dtype == jnp.uint8
     dv = v_codes.shape[-1] * (2 if int4 else 1)
+    bs = next((b for b in (BS, 512, 256) if s % b == 0), 0)
     eligible = (
         _platform_is_tpu()
-        and s % BS == 0
+        and bs > 0
         and d in (64, 128, 192, 256)
         and dv in (64, 128, 192, 256)
         and g <= GPAD
@@ -86,7 +91,7 @@ def decode_attention_quant_or_none(
     )
     if not eligible:
         return None
-    hb = next(h for h in (HB, 4, 2, 1) if bh % h == 0)
+    hb = next(h for h in (HB, 8, 4, 2, 1) if bh % h == 0)
 
     qg = q.reshape(b, hkv, g, d)
     qp = jnp.zeros((b, hkv, GPAD, d), jnp.bfloat16).at[:, :, :g].set(
@@ -107,7 +112,7 @@ def decode_attention_quant_or_none(
     lens = jnp.repeat(lengths, hkv).astype(jnp.int32)           # [BH]
 
     out = _decode_kernel_call(qp, kc, vc, ks, vs, lens, scale=scale,
-                              s=s, d=d, dv=dv, hb=hb, int4=int4)
+                              s=s, d=d, dv=dv, hb=hb, int4=int4, bs=bs)
     return out.reshape(b, hkv, GPAD, dv)[:, :, :g].reshape(b, hq, dv)
 
 
@@ -116,15 +121,17 @@ decode_attention_int8_or_none = decode_attention_quant_or_none
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "s", "d", "dv", "hb", "int4"))
+                   static_argnames=("scale", "s", "d", "dv", "hb", "int4",
+                                    "bs"))
 def _decode_kernel_call(qp, kc, vc, ks, vs, lens, *, scale, s, d, dv, hb,
-                        int4):
+                        int4, bs=None):
     HB = hb
+    BS = bs or globals()["BS"]
     bh = qp.shape[0]
     grid = (bh // HB, s // BS)
     flat_scales = ks.ndim == 2
     kernel = functools.partial(_decode_kernel, scale=scale, HB=HB, int4=int4,
-                               flat_scales=flat_scales)
+                               flat_scales=flat_scales, BS=BS)
     dk_c = kc.shape[-1]     # packed (d//2) or full d
     dv_c = vc.shape[-1]
 
@@ -186,7 +193,7 @@ def _unpack4(b):
 
 def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
                    o_acc, m_acc, l_acc, *, scale, HB, int4,
-                   flat_scales=False):
+                   flat_scales=False, BS=BS):
     hg = pl.program_id(0)
     j = pl.program_id(1)
 

@@ -79,17 +79,22 @@ def main():
         t = json.load(f)
     ev = [e for e in t["traceEvents"] if e.get("ph") == "X"]
     agg = collections.Counter()
+    long = {}
     for e in ev:
         name = e["name"]
-        if name.startswith("$") or name.startswith(("Pjit", "jit_")):
+        if name.startswith(("$", "Pjit", "jit_", "np.", "Device",
+                            "Parse", "Python", "PJRT")):
             continue
+        agg[name[:90]] += e.get("dur", 0)
         args = e.get("args") or {}
-        lbl = args.get("long_name") or name
-        agg[lbl.split("%")[0][:120]] += e.get("dur", 0)
+        if args.get("long_name"):
+            long[name[:90]] = args["long_name"][:160]
     jit_total = sum(e.get("dur", 0) for e in ev if e["name"].startswith("jit_"))
     print(f"device jit total: {jit_total/K/1e3:.2f} ms/token over {K} tokens")
-    for name, dur in agg.most_common(30):
+    for name, dur in agg.most_common(35):
         print(f"{dur/K/1e3:9.3f} ms  {name}")
+        if name in long:
+            print(f"             {long[name]}")
 
 
 if __name__ == "__main__":
