@@ -419,6 +419,11 @@ class TrainCard:
     int8_matmul: bool = False        # int8 fwd matmuls (FP8-GEMM analog)
     int8_wgrad: bool = False         # experimental: int8 wgrad too
     int8_dgrad: bool = False         # int8 dgrad (scale-folded dy)
+    fused_ce: Optional[bool] = None  # None: auto (vocab >= 64k). True
+                                     # forces the chunked logits-free CE
+                                     # (+1.2% and -1.6 GB at GPT2-774M
+                                     # B=16, measured); False forces the
+                                     # bf16-logits path (faster at 124M)
     int8_min_kn: int = 1 << 24       # K*N weight-size gate (ops/int8_train)
     dump_every: int = 10
     eval_every: int = 100
@@ -457,6 +462,8 @@ class TrainCard:
         card.int8_matmul = bool(opt.get("int8_matmul", card.int8_matmul))
         card.int8_dgrad = bool(opt.get("int8_dgrad", card.int8_dgrad))
         card.int8_min_kn = int(opt.get("int8_min_kn", card.int8_min_kn))
+        if "fused_ce" in opt:
+            card.fused_ce = bool(opt["fused_ce"])
         sched = jt.get("scheduler", {})
         if isinstance(sched, str):
             card.scheduler = sched

@@ -41,11 +41,18 @@ class TrainState:
 
 
 def compute_loss(card: ModelCard, params, tokens, loss_mask=None,
-                 remat: bool = False, qcard=None, rng=None):
+                 remat: bool = False, qcard=None, rng=None,
+                 fused_ce=None):
     """Next-token CE over [B, T] tokens (targets = tokens shifted).
     ``qcard`` with rules enables fake-quant QAT (STE) in the forward.
     SALMON (diffusion LM) uses the masked-reconstruction objective
-    instead — ``rng`` drives the mask sampling."""
+    instead — ``rng`` drives the mask sampling.
+
+    ``fused_ce``: None = auto (chunked logits-free classifier for
+    vocab >= 64k); True/False force it (TrainCard.fused_ce — measured:
+    fused wins at GPT2-774M, +1.2% and -1.6 GB of logits buffer; the
+    bf16-logits path wins at 124M where that buffer is cheap memory
+    but the chunk scan costs serialization)."""
     if qcard is not None and qcard.rules and qcard.train_target != "gama":
         from koifish_tpu.quant.qat import apply_qat
         params = apply_qat(params, qcard, card)
@@ -60,7 +67,8 @@ def compute_loss(card: ModelCard, params, tokens, loss_mask=None,
 
     # large vocab: chunked fused classifier — never materialize [B,T,V]
     head = params.get("head", params["wte"])
-    if card.vocab_size >= 65536 and not isinstance(head, QTensor):
+    use_fused = fused_ce if fused_ce is not None else card.vocab_size >= 65536
+    if use_fused and not isinstance(head, QTensor):
         from koifish_tpu.ops.cross_entropy import fused_ce_loss
         hidden = model_forward(card, params, tokens[:, :-1], remat=remat,
                                return_hidden=True)
@@ -110,7 +118,8 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
         def loss_fn(diff_leaves):
             loss, _ = compute_loss(card, merge(diff_leaves), tokens,
                                    loss_mask, remat=tcard.remat, qcard=qcard,
-                                   rng=rng)
+                                   rng=rng,
+                                   fused_ce=getattr(tcard, "fused_ce", None))
             return loss
 
         loss, g_diff = jax.value_and_grad(loss_fn)(diff)

@@ -61,17 +61,23 @@ path = sorted(glob.glob(outdir + "/plugins/profile/*/*.trace.json.gz"))[-1]
 with gzip.open(path) as f:
     t = json.load(f)
 ev = [e for e in t["traceEvents"] if e.get("ph") == "X"]
-# device events: pid of TPU tracks; keep ones with 'dur' and exclude python host frames
+# aggregate by the short op NAME (long_name starts with '%', which the
+# old split-on-'%' collapsed into one empty bucket); show the long name
+# under the top entries for shape/operand context
 agg = collections.Counter()
-total = 0
+long_names = {}
 for e in ev:
     name = e["name"]
-    if name.startswith("$") or "(" in name and name.startswith(("Pjit", "jit_")):
+    if name.startswith(("$", "Pjit", "jit_", "np.", "Device", "Parse",
+                        "Python", "PJRT")):
         continue
+    agg[name[:90]] += e.get("dur", 0)
     args = e.get("args") or {}
-    lbl = args.get("long_name") or name
-    agg[lbl.split("%")[0][:140]] += e.get("dur", 0)
+    if args.get("long_name"):
+        long_names[name[:90]] = args["long_name"][:160]
 jit_total = sum(e.get("dur", 0) for e in ev if e["name"].startswith("jit_"))
 print(f"device jit total: {jit_total/3e3:.1f} ms/step over 3 steps")
 for name, dur in agg.most_common(40):
     print(f"{dur/3e3:9.3f} ms  {name}")
+    if name in long_names:
+        print(f"             {long_names[name]}")
