@@ -119,33 +119,38 @@ def fused_ce_loss(
         from koifish_tpu.ops.tracectx import current_int8
         pol = current_int8()
         use_int8 = pol is not None and pol.applies((E, V))
+    chunk = min(chunk, V)
     n_chunks = -(-V // chunk)
-    pad_v = n_chunks * chunk - V
     w = head_w.astype(jnp.bfloat16)
-    if pad_v:
-        w = jnp.pad(w, ((0, 0), (0, pad_v)))
-    wc = w.reshape(E, n_chunks, chunk).transpose(1, 0, 2)   # [C, E, chunk]
 
     x2 = hidden.reshape(B * T, E)
     tgt = targets.reshape(B * T)
 
-    def body(carry, inp):
+    # Chunks are dynamic_slice views of the ORIGINAL [E, V] head, clamped
+    # at the tail. The previous layout — pad V to a chunk multiple, then
+    # reshape+transpose to [C, E, chunk] scan xs — rebuilt the entire
+    # head weight every step (a 147 MB copy at GPT2-774M, 14 ms/step on
+    # v5e, measured via prof_step.py); the slice reads the weight in
+    # place and fuses into the chunk dot's operand.
+    def body(carry, ci):
         m_run, s_run, gold = carry
-        w_c, ci = inp
+        start = jnp.minimum(ci * chunk, max(V - chunk, 0))
+        w_c = jax.lax.dynamic_slice_in_dim(w, start, chunk, axis=1)
         if use_int8:
             from koifish_tpu.ops.int8_train import int8_matmul
             logits = int8_matmul(x2, w_c, False).astype(jnp.float32)
         else:
             logits = jnp.dot(x2, w_c, preferred_element_type=jnp.float32)
-        # mask padded vocab tail
-        vpos = ci * chunk + jnp.arange(chunk)
-        logits = jnp.where(vpos[None, :] < V, logits, -1e30)
+        # suppress columns already counted by the previous chunk (the
+        # clamped tail chunk overlaps it when chunk does not divide V)
+        vpos = start + jnp.arange(chunk)
+        logits = jnp.where(vpos[None, :] >= ci * chunk, logits, -1e30)
         m_new = jnp.maximum(m_run, logits.max(-1))
         s_run = s_run * jnp.exp(m_run - m_new) + \
             jnp.exp(logits - m_new[:, None]).sum(-1)
-        # gold logit if target falls into this chunk
-        local = tgt - ci * chunk
-        in_chunk = (local >= 0) & (local < chunk)
+        # gold logit if target falls into this chunk's fresh columns
+        local = tgt - start
+        in_chunk = (tgt >= ci * chunk) & (local < chunk)
         picked = jnp.take_along_axis(
             logits, jnp.clip(local, 0, chunk - 1)[:, None], axis=1)[:, 0]
         gold = jnp.where(in_chunk, picked, gold)
@@ -157,7 +162,7 @@ def fused_ce_loss(
     # checkpoint the body: without it autodiff saves every chunk's logits
     # as scan residuals — re-materializing the full [B*T, V] f32 tensor
     (m_run, s_run, gold), _ = jax.lax.scan(
-        jax.checkpoint(body), init, (wc, jnp.arange(n_chunks)))
+        jax.checkpoint(body), init, jnp.arange(n_chunks))
     lse = m_run + jnp.log(jnp.maximum(s_run, 1e-30))
     per_tok = (lse - gold).reshape(B, T)
     if mask is None:
