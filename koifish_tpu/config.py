@@ -354,7 +354,8 @@ class QuantCard:
             if not isinstance(spec, dict) or "bits" not in spec:
                 continue
             method = spec.get("quant_method", "RTN").upper()
-            nf = method in ("RTNF", "NF", "CLUSTER", "KMEANS")
+            nf = method in ("RTNF", "NF", "CLUSTER", "KMEANS",
+                            "MINI", "MINI_GBDT")
             if method in ("F8EX", "F8E5M2"):
                 # reference F8Ex casts weights to e5m2 (QUANT_MODE::F8Ex,
                 # CLI_params.hpp:484; f8e5 cast kernels operator.cuh:519)

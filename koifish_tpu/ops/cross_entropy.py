@@ -101,6 +101,7 @@ def fused_ce_loss(
     mask: Optional[jax.Array] = None,
     chunk: int = 8192,
     use_int8: Optional[bool] = None,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """CE directly from hidden states + head weight, scanning VOCAB CHUNKS
     with a running logsumexp — the [B,T,V] logits tensor is never
@@ -115,6 +116,15 @@ def fused_ce_loss(
     """
     B, T, E = hidden.shape
     V = head_w.shape[-1]
+    if use_pallas is not False:
+        # fused Pallas classifier: per-tile logits live in VMEM only, no
+        # [M, chunk] intermediates through HBM. Takes precedence over
+        # the int8 scan too: the scan is HBM-intermediate-bound, not
+        # MXU-bound, so the bf16 kernel wins regardless.
+        from koifish_tpu.ops.pallas.fused_ce import fused_ce_pallas_or_none
+        out = fused_ce_pallas_or_none(hidden, head_w, targets, mask)
+        if out is not None:
+            return out
     if use_int8 is None:
         from koifish_tpu.ops.tracectx import current_int8
         pol = current_int8()

@@ -38,9 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 # preferred tiles, shrunk per shape by _tiles(); 1024x1024 measured fastest
-# on v5e for the GPT2-124M train step. See docs/DESIGN.md.
-BQ = 1024
-BK = 1024
+# on v5e for the GPT2-124M train step. See docs/DESIGN.md. Env overrides
+# exist for on-chip tile sweeps (prof_step.py / tools/sweep_big.py).
+import os as _os
+BQ = int(_os.environ.get("KOIFISH_FLASH_BQ", 1024))
+BK = int(_os.environ.get("KOIFISH_FLASH_BK", 1024))
 
 
 def _tiles(t: int):

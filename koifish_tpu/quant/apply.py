@@ -49,6 +49,10 @@ def quantize_params(params: Dict[str, Any], qcard: QuantCard,
             from koifish_tpu.quant.cluster import quantize_kmeans
             return quantize_kmeans(jnp.asarray(mat), bits=rule.fmt.bits,
                                    group=rule.group)
+        if rule.method in ("MINI", "MINI_GBDT"):
+            from koifish_tpu.quant.cluster import quantize_mini
+            return quantize_mini(jnp.asarray(mat), bits=rule.fmt.bits,
+                                 group=rule.group)
         if rule.method in ("SNQ", "SINKHORN"):
             from koifish_tpu.quant.cluster import quantize_sinkhorn
             return quantize_sinkhorn(jnp.asarray(mat), rule.fmt,

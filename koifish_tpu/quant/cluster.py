@@ -104,3 +104,59 @@ def quantize_sinkhorn(w: jax.Array, fmt: QFormat = QFormat.INT4,
     import dataclasses
     scales = qt.scales.astype(jnp.float32) * c[None, :]
     return dataclasses.replace(qt, scales=scales, row_scale=r)
+
+
+def quantize_mini(w: jax.Array, bits: int = 4, group: int = DEFAULT_GROUP,
+                  iters: int = 10, row_chunk: int = 256) -> QTensor:
+    """MINI quantization — the reference's ``Q_Impurity`` mode rebuilt
+    without the GBDT library (GeQuant.cpp:763-830: per-feature learned
+    bin boundaries scored by impurity through LiteMORT histograms).
+
+    Impurity of a binning is the within-bin variance; for a fixed bin
+    count the minimizer is the Lloyd-Max scalar quantizer, so the
+    TPU-native MINI learns a per-ROW 2^bits-entry codebook by Lloyd
+    iterations (vectorized over row blocks) — same objective, no tree
+    library. Row absmax folds into the codebook entries, so the QTensor
+    carries identity group scales and a [rows, 2^bits] codebook.
+    """
+    assert bits in (3, 4)
+    fmt = QFormat.NF4 if bits == 4 else QFormat.NF3
+    k = 1 << bits
+    w2 = w.reshape(w.shape[0], -1).astype(jnp.float32)
+    R, C = w2.shape
+
+    def fit_rows(rows):                                      # [rc, C]
+        absmax = jnp.maximum(jnp.max(jnp.abs(rows), axis=1, keepdims=True),
+                             1e-12)
+        x = rows / absmax
+        qs = jnp.quantile(x, jnp.linspace(0.005, 0.995, k), axis=1).T
+
+        def step(cents, _):                                  # [rc, k]
+            d = jnp.abs(x[:, :, None] - cents[:, None, :])   # [rc, C, k]
+            assign = jnp.argmin(d, axis=2)
+            one = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+            count = one.sum(1)
+            total = (one * x[:, :, None]).sum(1)
+            return jnp.where(count > 0, total / jnp.maximum(count, 1),
+                             cents), None
+
+        cents, _ = jax.lax.scan(step, qs, None, length=iters)
+        cents = jnp.sort(cents, axis=1)
+        mids = (cents[:, 1:] + cents[:, :-1]) / 2.0
+        codes = jax.vmap(jnp.searchsorted)(mids, x).astype(jnp.uint8)
+        return cents * absmax, codes
+
+    if R > row_chunk and R % row_chunk == 0:
+        books, raw = jax.lax.map(fit_rows,
+                                 w2.reshape(-1, row_chunk, C))
+        books = books.reshape(R, k)
+        raw = raw.reshape(R, C)
+    else:
+        books, raw = fit_rows(w2)
+
+    from koifish_tpu.quant.packing import pack_codes
+    G = R // group
+    codes = pack_codes(raw, fmt, group=group)
+    return QTensor(codes=codes, scales=jnp.ones((G, C), jnp.float32),
+                   zeros=None, fmt=fmt, shape=(R, C), group=group,
+                   codebook=books)

@@ -128,7 +128,13 @@ class QTensor:
             codes = self.codes.astype(jnp.float32)
         else:
             raw = unpack_codes(self.codes, fmt, n_in, group=self.group)
-            if self.codebook is not None:
+            if self.codebook is not None and self.codebook.ndim == 2:
+                # per-ROW learned codebooks (MINI / Q_Impurity analog,
+                # quant/cluster.quantize_mini): book[row, code]
+                codes = jnp.take_along_axis(
+                    self.codebook.astype(jnp.float32),
+                    raw.astype(jnp.int32), axis=1)
+            elif self.codebook is not None:
                 codes = self.codebook.astype(jnp.float32)[raw.astype(jnp.int32)]
             elif fmt.is_codebook:
                 codes = codebook_for(fmt)[raw.astype(jnp.int32)]

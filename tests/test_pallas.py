@@ -329,3 +329,43 @@ def test_slot_write_matches_masked_select():
                                               np.asarray(want))
     finally:
         psw.set_interpret(False)
+
+
+def test_fused_ce_kernel_matches_scan():
+    """Pallas fused classifier (fwd + dx/dw sweeps) vs the XLA chunk
+    scan, including a vocab tail (V not a multiple of the kernel's
+    column block) and a loss mask."""
+    from koifish_tpu.ops.cross_entropy import fused_ce_loss
+    from koifish_tpu.ops.pallas import fused_ce as fce
+
+    fce.set_interpret(True)
+    try:
+        B, T, E, V = 2, 256, 256, 5000   # tail: 5000 % 1024 != 0
+        key = jax.random.PRNGKey(0)
+        h = (jax.random.normal(key, (B, T, E)) * 0.5).astype(jnp.bfloat16)
+        w = (jax.random.normal(jax.random.PRNGKey(1), (E, V)) * 0.05
+             ).astype(jnp.bfloat16)
+        tgt = jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, V)
+        mask = (jax.random.uniform(jax.random.PRNGKey(3), (B, T)) > 0.2
+                ).astype(jnp.float32)
+
+        ref_l, ref_t = fused_ce_loss(h, w, tgt, mask, use_pallas=False)
+        out = fce.fused_ce_pallas_or_none(h, w, tgt, mask)
+        assert out is not None
+        got_l, got_t = out
+        np.testing.assert_allclose(float(ref_l), float(got_l), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ref_t), np.asarray(got_t),
+                                   atol=1e-4)
+
+        gr = jax.grad(lambda a, b: fused_ce_loss(a, b, tgt, mask,
+                                                 use_pallas=False)[0],
+                      argnums=(0, 1))(h, w)
+        gp = jax.grad(lambda a, b: fce.fused_ce_pallas_or_none(
+            a, b, tgt, mask)[0], argnums=(0, 1))(h, w)
+        for a, b in zip(gr, gp):
+            a = a.astype(jnp.float32)
+            b = b.astype(jnp.float32)
+            rel = float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(a) + 1e-9))
+            assert rel < 5e-3, rel
+    finally:
+        fce.set_interpret(False)

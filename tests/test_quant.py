@@ -211,3 +211,51 @@ def test_f8ex_quant_card_method():
     out = model_forward(card, qp, toks).astype(jnp.float32)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 0.15, rel
+
+
+def test_mini_impurity_quantization():
+    """MINI (Q_Impurity analog, GeQuant.cpp:763-830): per-row Lloyd-Max
+    codebooks minimize within-bin variance (impurity) — beats RTN and
+    the fixed NF4 grid on rows with heterogeneous ranges, and the
+    matmul path consumes the per-row codebook QTensor."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from koifish_tpu.dtypes import QFormat
+    from koifish_tpu.ops.matmul import qmatmul
+    from koifish_tpu.quant.cluster import quantize_mini
+    from koifish_tpu.quant.rtn import quant_error, quantize
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (256, 128)) * 0.05
+    w = w.at[::7].multiply(5.0)          # heavy-tail rows
+    qm = quantize_mini(w, bits=4, group=64)
+    assert qm.codebook is not None and qm.codebook.shape == (256, 16)
+    err_m = float(quant_error(w, qm))
+    err_rtn = float(quant_error(w, quantize(w, QFormat.INT4, group=64)))
+    err_nf = float(quant_error(w, quantize(w, QFormat.NF4, group=64)))
+    assert err_m < err_rtn and err_m < err_nf, (err_m, err_rtn, err_nf)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 256), jnp.bfloat16)
+    got = qmatmul(x, qm)
+    ref = jnp.dot(x.astype(jnp.float32), qm.dequantize(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_mini_mode_via_quant_card():
+    """quant_method MINI routes through QuantCard -> quantize_params."""
+    import jax.numpy as jnp
+    from koifish_tpu.config import ModelCard, QuantCard
+    from koifish_tpu.models import init_params
+    from koifish_tpu.quant.apply import quantize_params
+    from koifish_tpu.quant.qtensor import QTensor
+    import jax
+    card = ModelCard.from_arch("QWEN3", vocab_size=64, n_layer=1, n_embd=128,
+                               n_head=2, n_kv_head=2, head_dim=64, n_ffn=128,
+                               n_ctx=32, max_pos=32)
+    params = init_params(card, jax.random.PRNGKey(0))
+    qc = QuantCard.from_json({"mlp": {"bits": 4, "quant_method": "MINI"},
+                              "group_size": 64})
+    qp = quantize_params(params, qc, card)
+    qts = [v for v in qp["layers"][0].values() if isinstance(v, QTensor)]
+    assert qts and all(q.codebook is not None and q.codebook.ndim == 2
+                       for q in qts)
