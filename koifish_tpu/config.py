@@ -55,6 +55,16 @@ _ARCH_DEFAULTS = {
                   qkv_bias=False, qk_norm=True, mlp_bias=False, tie_embeddings=True),
     "LLAMA": dict(pos_embed="rope", norm="rmsnorm", act="swiglu",
                   qkv_bias=False, qk_norm=False, mlp_bias=False, tie_embeddings=False),
+    # Guppy: decoder with vocab-memory FFNs over resampled embedding
+    # rows (reference gLLM.hpp:231, SparseNeuron::SetEmbed/UpdateSamps)
+    "GUPPY": dict(pos_embed="rope", norm="rmsnorm", act="gelu",
+                  qkv_bias=False, qk_norm=False, mlp_bias=False,
+                  tie_embeddings=True),
+    # LLAMA_VAE: decoder whose token embedding is factored through the
+    # EmbedVAE latent stack (reference gLLM.hpp:163-182, latent_dim 192)
+    "LLAMA_VAE": dict(pos_embed="rope", norm="rmsnorm", act="swiglu",
+                      qkv_bias=False, qk_norm=False, mlp_bias=False,
+                      tie_embeddings=True),
     "MISTRAL": dict(pos_embed="rope", norm="rmsnorm", act="swiglu",
                     qkv_bias=False, qk_norm=False, mlp_bias=False, tie_embeddings=False),
     "DEEPSEEK": dict(pos_embed="rope", norm="rmsnorm", act="swiglu",
@@ -168,6 +178,9 @@ class ModelCard:
     # layer indices whose attention is BROWN (learned fixed attention,
     # the reference's BROWN_attn — models/brown.py); FFN kept
     brown_layers: tuple = ()
+    # EmbedVAE latent dims for the LLAMA_VAE arch (reference
+    # MODEL_CARD token_embeds / LLAMA_VAE latent_dim=192)
+    token_embeds: tuple = ()
     # MLA (DeepSeek family; attn="mla")
     attn: str = "std"
     q_lora_rank: int = 0
@@ -235,6 +248,8 @@ class ModelCard:
             kw["vocab_size"] = int(jmodel["vocab_size"])
         if "tie_word_embeddings" in p:
             kw["tie_embeddings"] = bool(p["tie_word_embeddings"])
+        if "token_embeds" in p:
+            kw["token_embeds"] = tuple(int(d) for d in p["token_embeds"])
         if "max_pos_embeddings" in p:
             kw["max_pos"] = int(p["max_pos_embeddings"])
         if "num_experts" in p:

@@ -70,6 +70,13 @@ def init_params(card: ModelCard, key: jax.Array, dtype=jnp.bfloat16) -> Params:
     if not card.tie_embeddings:
         params["head"] = nrm(keys[2], (E, card.vocab_size))
 
+    if card.arch == "LLAMA_VAE":
+        # token embedding factored through the EmbedVAE latent stack
+        # (reference LLAMA_VAE, gLLM.hpp:163-182; latent_dim default 192)
+        from koifish_tpu.models.embed_vae import init_embed_vae
+        dims = [E] + list(card.token_embeds or (192,))
+        params["evae"] = init_embed_vae(keys[2], dims, dtype=dtype)
+
     layers: List[Params] = []
     for li in range(L):
         ks = jax.random.split(keys[3 + li], 8)
@@ -121,6 +128,10 @@ def init_params(card: ModelCard, key: jax.Array, dtype=jnp.bfloat16) -> Params:
             # all layers MoE, or only the hybrid backbone's chosen layers
             from koifish_tpu.models.moe import init_moe_layer
             lp.update(init_moe_layer(card, ks[4], dtype))
+        elif card.arch == "GUPPY":
+            # vocab-memory FFN: weights are sampled wte rows (injected at
+            # forward time, models/guppy.py); only a gain is learned here
+            lp["guppy_gain"] = jnp.ones((), dtype)
         elif card.act == "swiglu":
             lp["gate"] = nrm(ks[4], (E, F))
             lp["up"] = nrm(ks[5], (E, F))
@@ -166,6 +177,17 @@ def gather_embed(wte, tokens: jax.Array) -> jax.Array:
     return jnp.take(wte, tokens, axis=0)
 
 
+def embed_tokens(card: ModelCard, params: Params, tokens: jax.Array
+                 ) -> jax.Array:
+    """Token embedding incl. the LLAMA_VAE latent factorization — the
+    single entry point shared by training forward and the serve paths."""
+    x = gather_embed(params["wte"], tokens)
+    if "evae" in params:
+        from koifish_tpu.models.embed_vae import decode, encode
+        x = decode(params["evae"], encode(params["evae"], x))
+    return x
+
+
 def _norm(card: ModelCard, x, w, b=None, residual=None):
     if card.norm == "rmsnorm":
         return rmsnorm(x, w, eps=card.norm_eps, residual=residual)
@@ -209,6 +231,9 @@ def mlp(card: ModelCard, lp: Params, x: jax.Array) -> jax.Array:
     if "router" in lp:
         from koifish_tpu.models.moe import moe_ffn
         return moe_ffn(card, lp, x)
+    if "guppy_gain" in lp:
+        from koifish_tpu.models.guppy import guppy_ffn
+        return guppy_ffn(lp, x)
     if card.act == "swiglu":
         g = _linear_l(x, lp, "gate")
         u = _linear_l(x, lp, "up")
@@ -269,6 +294,7 @@ def model_forward(
     return_hidden: bool = False,
     remat: bool = False,
     logits_dtype=jnp.float32,
+    guppy_samps: Optional[jax.Array] = None,   # [L, F] ids (GUPPY arch)
 ) -> jax.Array:
     """Full-sequence forward: tokens -> logits [B, T, V] (f32).
 
@@ -281,7 +307,10 @@ def model_forward(
     if positions is None:
         positions = jnp.arange(T, dtype=jnp.int32)
     window = window or card.window
-    x = gather_embed(params["wte"], tokens)
+    if card.arch == "GUPPY" and "guppy_rows" not in params["layers"][0]:
+        from koifish_tpu.models.guppy import inject_rows
+        params = inject_rows(card, params, guppy_samps)
+    x = embed_tokens(card, params, tokens)
     if card.pos_embed == "learned":
         x = x + jnp.take(params["wpe"], positions, axis=0)
     cos = sin = None

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from koifish_tpu.config import ModelCard, SamplerCard
 from koifish_tpu.models.transformer import (
-    Params, _linear_l, _norm, gather_embed, lm_head, mlp, qkv_project)
+    Params, _linear_l, _norm, embed_tokens, gather_embed, lm_head, mlp,
+    qkv_project)
 from koifish_tpu.ops.attention import causal_attention, decode_attention
 from koifish_tpu.ops.rope import rope_freqs
 from koifish_tpu.ops.sampling import sample_logits
@@ -80,7 +81,7 @@ def prefill(card: ModelCard, params: Params, tokens: jax.Array,
     cos, sin = _rope_tables(card)
     S = cache.size
 
-    x = gather_embed(params["wte"], tokens)
+    x = embed_tokens(card, params, tokens)
     if card.pos_embed == "learned":
         x = x + jnp.take(params["wpe"], positions, axis=0)
 
@@ -144,7 +145,7 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
         cos, sin, inv_freq = _decode_rope(card, positions)
         rope_pos = None
 
-    x = gather_embed(params["wte"], token[:, None])   # [B, 1, E]
+    x = embed_tokens(card, params, token[:, None])    # [B, 1, E]
     if card.pos_embed == "learned":
         wpe_pos = jnp.minimum(positions[:, 0], card.max_pos - 1)
         x = x + jnp.take(params["wpe"], wpe_pos, axis=0)[:, None]
@@ -347,6 +348,13 @@ def generate(
     a ~30 ms RTT, so chat should run chunk 4-16)."""
     sampler = sampler or SamplerCard()
     rng = rng if rng is not None else jax.random.PRNGKey(sampler.seed)
+    if card.arch == "GUPPY" and "guppy_rows" not in params["layers"][0]:
+        # serving uses the deterministic seed-0 FFN row sample; inject
+        # once so prefill/decode layers see concrete row tensors
+        from koifish_tpu.models.guppy import inject_rows
+        params = inject_rows(card, params, None)
+        if decode_params is None:
+            decode_params = params
     dparams = decode_params if decode_params is not None else params
 
     pos_host = int(cache.pos[0])        # host mirror of the uniform pos

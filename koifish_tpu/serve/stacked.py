@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from koifish_tpu.config import ModelCard
 from koifish_tpu.dtypes import QFormat
 from koifish_tpu.models.transformer import (
-    Params, _norm, gather_embed, lm_head, mlp, qkv_project)
+    Params, _norm, embed_tokens, gather_embed, lm_head, mlp, qkv_project)
 from koifish_tpu.ops.attention import decode_attention
 from koifish_tpu.serve import kvcache as kvc
 from koifish_tpu.serve.engine import _rope_tables
@@ -64,7 +64,7 @@ def decode_step_stacked(card: ModelCard, sparams: Params, token: jax.Array,
         positions = cache.pos[:, None]
         cos, sin, inv_freq = _decode_rope(card, positions)
         rope_pos = None
-    x = gather_embed(sparams["wte"], token[:, None])
+    x = embed_tokens(card, sparams, token[:, None])
     if card.pos_embed == "learned":
         wpe_pos = jnp.minimum(positions[:, 0], card.max_pos - 1)
         x = x + jnp.take(sparams["wpe"], wpe_pos, axis=0)[:, None]

@@ -65,18 +65,27 @@ def compute_loss(card: ModelCard, params, tokens, loss_mask=None,
     targets = tokens[:, 1:]
     mask = loss_mask[:, 1:] if loss_mask is not None else None
 
+    guppy_samps = None
+    if card.arch == "GUPPY":
+        # resample the vocab-memory FFN rows every step (the reference's
+        # Guppy::BeforeNextStep / FFN::UpdateSamps(iter*nLayer+l))
+        from koifish_tpu.models.guppy import sample_ids
+        guppy_samps = sample_ids(
+            card, rng if rng is not None else jax.random.PRNGKey(0))
+
     # large vocab: chunked fused classifier — never materialize [B,T,V]
     head = params.get("head", params["wte"])
     use_fused = fused_ce if fused_ce is not None else card.vocab_size >= 65536
     if use_fused and not isinstance(head, QTensor):
         from koifish_tpu.ops.cross_entropy import fused_ce_loss
         hidden = model_forward(card, params, tokens[:, :-1], remat=remat,
-                               return_hidden=True)
+                               return_hidden=True, guppy_samps=guppy_samps)
         head_w = head if "head" in params else head.T
         return fused_ce_loss(hidden, head_w, targets, mask)
 
     logits = model_forward(card, params, tokens[:, :-1], remat=remat,
-                           logits_dtype=jnp.bfloat16)
+                           logits_dtype=jnp.bfloat16,
+                           guppy_samps=guppy_samps)
     loss, per_tok = cross_entropy_loss(logits, targets, mask)
     return loss, per_tok
 
