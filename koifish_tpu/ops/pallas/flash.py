@@ -171,6 +171,12 @@ _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 def _flash_fwd_call(qh, kh, vh, *, g: int, scale: float, window: int = 0):
     bh, t, d = qh.shape
     bq, bk = _tiles(t)
+    if t == bq == bk and t % min(256, t) == 0:
+        # strip-tiled direct-softmax single-tile path (see the cols
+        # variant) — this head-major route serves head counts the
+        # column layout can't 128-lane-align (e.g. GPT2-1558M's H=25)
+        return _fwd_single(qh, kh, vh, g=g, scale=scale, window=window,
+                           t=t, d=d)
     grid = (bh, t // bq, t // bk)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, BQ=bq, BK=bk,
@@ -255,6 +261,71 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, o_acc, m_acc, l_acc,
         l = jnp.maximum(l_acc[:], 1e-30)
         o_ref[0] = (o_acc[:] / l).astype(o_ref.dtype)
         lse_ref[0] = m_acc[:] + jnp.log(l)
+
+
+def _fwd_single(qh, kh, vh, *, g, scale, window, t, d):
+    """Head-major single-tile forward: grid (bh,), strip-tiled direct
+    softmax with static causal K extents."""
+    bh = qh.shape[0]
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_single_kernel, scale=scale, T=t,
+                          window=window),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda h: (h // g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda h: (h // g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, t, d), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t, d), qh.dtype),
+            jax.ShapeDtypeStruct((bh, t, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * t * t * d,
+            bytes_accessed=4 * bh * t * d * 2,
+            transcendentals=bh * t * t // 2,
+        ),
+    )(qh, kh, vh)
+    return out, lse
+
+
+def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                       *, scale, T, window=0):
+    qb, kb, vb = q_ref[0], k_ref[0], v_ref[0]
+    QS = min(256, T)
+    ql = (qb.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    o_s, lse_s = [], []
+    for q0 in range(0, T, QS):
+        ext = q0 + QS                       # static causal K extent
+        qpos = q0 + jax.lax.broadcasted_iota(jnp.int32, (QS, ext), 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (QS, ext), 1)
+        allowed = kpos <= qpos
+        if window > 0:
+            allowed = jnp.logical_and(allowed, kpos > qpos - window)
+        s = jnp.dot(ql[q0:ext], kb[:ext].T,
+                    preferred_element_type=jnp.float32)       # [QS, ext]
+        s = jnp.where(allowed, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        o_s.append(jnp.dot(p.astype(jnp.bfloat16), vb[:ext],
+                           preferred_element_type=jnp.float32) / l)
+        lse_s.append(m + jnp.log(l))
+    o_ref[0] = jnp.concatenate(o_s, axis=0).astype(o_ref.dtype)
+    lse_ref[0] = jnp.concatenate(lse_s, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -348,32 +419,52 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
 
     qb = q_ref[0]
     kb = k_ref[0]
+    vb = v_ref[0]
     gb = g_ref[0]
+    ob = o_ref[0]
+    lse_b = lse_ref[0]
     qs = (qb.astype(jnp.float32) * scale).astype(jnp.bfloat16)
-    s = jnp.dot(qs, kb.T, preferred_element_type=jnp.float32)   # [T, T]
-    qpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    allowed = kpos <= qpos
-    if window > 0:
-        allowed = jnp.logical_and(allowed, kpos > qpos - window)
-    s = jnp.where(allowed, s, _NEG_INF)
-    p = jnp.exp(s - lse_ref[0])                                  # [T, T]
-    pb = p.astype(jnp.bfloat16)
-    # dv += pᵀ dO ;  dp = dO vᵀ ;  ds = p (dp − delta) scale
-    dv_acc[:] += jax.lax.dot_general(
-        pb, gb, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dp = jnp.dot(gb, v_ref[0].T, preferred_element_type=jnp.float32)
-    delta = jnp.sum(gb.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
-                    axis=-1, keepdims=True)                      # [T, 1]
-    ds = p * (dp - delta) * scale
-    dsb = ds.astype(jnp.bfloat16)
-    dk_acc[:] += jax.lax.dot_general(
-        dsb, qb, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dq_ref[0] = jnp.dot(dsb, kb,
-                        preferred_element_type=jnp.float32
-                        ).astype(dq_ref.dtype)
+    # strip-tiled with static causal K extents (see _bwd_cols_fused_kernel)
+    QS = min(256, T)
+    n_strips = T // QS
+    dq_s = []
+    segs_k = [None] * n_strips
+    segs_v = [None] * n_strips
+    for q0 in range(0, T, QS):
+        ext = q0 + QS
+        qpos = q0 + jax.lax.broadcasted_iota(jnp.int32, (QS, ext), 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (QS, ext), 1)
+        allowed = kpos <= qpos
+        if window > 0:
+            allowed = jnp.logical_and(allowed, kpos > qpos - window)
+        s = jnp.dot(qs[q0:ext], kb[:ext].T,
+                    preferred_element_type=jnp.float32)        # [QS, ext]
+        s = jnp.where(allowed, s, _NEG_INF)
+        p = jnp.exp(s - lse_b[q0:ext])
+        pb = p.astype(jnp.bfloat16)
+        gs = gb[q0:ext]
+        dv_part = jax.lax.dot_general(
+            pb, gs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [ext, D]
+        dp = jnp.dot(gs, vb[:ext].T, preferred_element_type=jnp.float32)
+        delta = jnp.sum(gs.astype(jnp.float32) *
+                        ob[q0:ext].astype(jnp.float32),
+                        axis=-1, keepdims=True)                # [QS, 1]
+        ds = p * (dp - delta) * scale
+        dsb = ds.astype(jnp.bfloat16)
+        dk_part = jax.lax.dot_general(
+            dsb, qb[q0:ext], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [ext, D]
+        for si in range(ext // QS):
+            pk = dk_part[si * QS:(si + 1) * QS]
+            pv = dv_part[si * QS:(si + 1) * QS]
+            segs_k[si] = pk if segs_k[si] is None else segs_k[si] + pk
+            segs_v[si] = pv if segs_v[si] is None else segs_v[si] + pv
+        dq_s.append(jnp.dot(dsb, kb[:ext],
+                            preferred_element_type=jnp.float32))
+    dv_acc[:] += jnp.concatenate(segs_v, axis=0)
+    dk_acc[:] += jnp.concatenate(segs_k, axis=0)
+    dq_ref[0] = jnp.concatenate(dq_s, axis=0).astype(dq_ref.dtype)
 
     @pl.when(gi == pl.num_programs(1) - 1)
     def _():

@@ -62,9 +62,11 @@ def _bm_for(m: int) -> Optional[int]:
 
 
 def eligible(m: int, e: int, v: int) -> bool:
-    """Kernel path available for [m, e] hidden against an [e, v] head."""
+    """Kernel path available for [m, e] hidden against an [e, v] head.
+    E only needs sublane alignment — Mosaic lane-pads non-128-multiple
+    E (GPT2-1558M's 1600 verified exact on chip)."""
     return (_platform_is_tpu() and _bm_for(m) is not None
-            and e % 128 == 0 and e <= 4096 and v >= 2 * BV)
+            and e % 8 == 0 and e <= 4096 and v >= 2 * BV)
 
 
 # ---------------------------------------------------------------------------
