@@ -434,7 +434,9 @@ class TrainCard:
                                      # True=full, "dots"=save GEMM outputs, False=off
     int8_matmul: bool = False        # int8 fwd matmuls (FP8-GEMM analog)
     int8_wgrad: bool = False         # experimental: int8 wgrad too
-    int8_dgrad: bool = False         # int8 dgrad (scale-folded dy)
+    # int8 dgrad: False | True/'fold' (scale-folded dy, measured
+    # net-negative) | 'tile' (Pallas per-tile quant, ops/pallas/qdgrad)
+    int8_dgrad: Any = False
     fused_ce: Optional[bool] = None  # None: auto (vocab >= 64k). True
                                      # forces the chunked logits-free CE
                                      # (+1.2% and -1.6 GB at GPT2-774M
@@ -476,7 +478,8 @@ class TrainCard:
         card.moment_dtype = str(opt.get("moment_dtype",
                                         card.moment_dtype)).lower()
         card.int8_matmul = bool(opt.get("int8_matmul", card.int8_matmul))
-        card.int8_dgrad = bool(opt.get("int8_dgrad", card.int8_dgrad))
+        dg = opt.get("int8_dgrad", card.int8_dgrad)
+        card.int8_dgrad = dg if isinstance(dg, str) else bool(dg)
         card.int8_min_kn = int(opt.get("int8_min_kn", card.int8_min_kn))
         if "fused_ce" in opt:
             card.fused_ce = bool(opt["fused_ce"])

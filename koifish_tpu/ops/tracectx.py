@@ -24,7 +24,8 @@ class Int8Policy:
     """Dynamic-range int8 training matmuls (ops/int8_train.py) — the TPU
     analog of the reference's FP8 GEMMs (operator.cuh:519-571)."""
     wgrad: bool = False
-    dgrad: bool = False               # int8 dgrad via scale-folded dy
+    # False | True/'fold' (scale-folded dy) | 'tile' (Pallas per-tile)
+    dgrad: object = False
     min_weight_elems: int = 1 << 24   # K*N gate: head-sized and up
 
     def applies(self, shape) -> bool:

@@ -33,6 +33,8 @@ tcard = TrainCard(batch=B, lr=6e-4, warmup=10,
                   moment_dtype=_arg("--mdt", "f32"), remat=remat,
                   int8_matmul=int8, int8_min_kn=4 << 20,
                   int8_wgrad="--wgrad" in sys.argv,
+                  int8_dgrad={"off": False, "fold": True, "tile": "tile"}[
+                      _arg("--dgrad", "off")],
                   fused_ce=True if "--fce" in sys.argv else None)
 step = make_train_step(card, tcard, total_steps=1000)
 state = init_train_state(card, tcard)

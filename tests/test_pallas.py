@@ -369,3 +369,54 @@ def test_fused_ce_kernel_matches_scan():
             assert rel < 5e-3, rel
     finally:
         fce.set_interpret(False)
+
+
+def test_qdgrad_tile_kernel_matches_bf16():
+    """Per-tile int8 dgrad (ops/pallas/qdgrad.py) vs the bf16 dequant
+    dot it replaces — same forward codes, int8 rounding tolerance."""
+    from koifish_tpu.ops.pallas import qdgrad as qd
+    qd.set_interpret(True)
+    try:
+        M, N, K = 512, 2048, 256
+        dy = (jax.random.normal(jax.random.PRNGKey(0), (M, N)) * 0.1
+              ).astype(jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (K, N)) * 0.05
+        sw = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+        wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+        got = qd.dgrad_int8_tile_or_none(dy, wq, sw)
+        assert got is not None
+        wd = (wq.astype(jnp.float32) * sw).astype(jnp.bfloat16)
+        ref = jnp.dot(dy, wd.T, preferred_element_type=jnp.float32)
+        rel = float(jnp.linalg.norm(got.astype(jnp.float32) - ref) /
+                    (jnp.linalg.norm(ref) + 1e-9))
+        assert rel < 0.02, rel
+    finally:
+        qd.set_interpret(False)
+
+
+def test_int8_matmul_tile_dgrad_grads_close():
+    """int8_matmul(dgrad='tile') end-to-end grad vs the default bf16
+    dgrad (interpret mode drives the Pallas kernel)."""
+    from koifish_tpu.ops.int8_train import int8_matmul
+    from koifish_tpu.ops.pallas import qdgrad as qd
+    qd.set_interpret(True)
+    try:
+        M, K, N = 512, 256, 2048
+        x = (jax.random.normal(jax.random.PRNGKey(0), (M, K)) * 0.5
+             ).astype(jnp.bfloat16)
+        w = (jax.random.normal(jax.random.PRNGKey(1), (K, N)) * 0.05
+             ).astype(jnp.bfloat16)
+        def loss(dgrad):
+            def f(x, w):
+                return jnp.sum(int8_matmul(x, w, False, dgrad)
+                               .astype(jnp.float32) ** 2)
+            return jax.grad(f, argnums=(0, 1))(x, w)
+        gx_t, gw_t = loss("tile")
+        gx_b, gw_b = loss(False)
+        rel = float(jnp.linalg.norm((gx_t - gx_b).astype(jnp.float32)) /
+                    (jnp.linalg.norm(gx_b.astype(jnp.float32)) + 1e-9))
+        assert rel < 0.02, rel
+        np.testing.assert_allclose(np.asarray(gw_t, np.float32),
+                                   np.asarray(gw_b, np.float32))
+    finally:
+        qd.set_interpret(False)

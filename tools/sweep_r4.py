@@ -17,15 +17,16 @@ _DIMS = {
 }
 
 
-def run(model, B, fce, int8, remat=False, mdt="bf16", reps=8):
+def run(model, B, fce, int8, remat=False, mdt="bf16", reps=8, dgrad=False):
     d = _DIMS[model]
     card = ModelCard.from_arch("GPT2", vocab_size=50304,
                                n_kv_head=d["n_head"], head_dim=64,
                                n_ctx=1024, max_pos=1024, **d)
     tcard = TrainCard(batch=B, lr=6e-4, warmup=10, optimizer="adamw",
                       moment_dtype=mdt, remat=remat, int8_matmul=int8,
-                      int8_min_kn=4 << 20, fused_ce=fce)
-    label = (f"{model} B={B} fce={fce} int8={int8} remat={remat}")
+                      int8_min_kn=4 << 20, fused_ce=fce, int8_dgrad=dgrad)
+    label = (f"{model} B={B} fce={fce} int8={int8} remat={remat}"
+             f" dgrad={dgrad}")
     try:
         step = make_train_step(card, tcard, total_steps=1000)
         state = init_train_state(card, tcard)
@@ -60,6 +61,10 @@ if which in ("774m", "both"):
     run("774m", 24, True, True)
     run("774m", 24, True, True, remat="dots")
     run("774m", 32, True, True, remat="dots")
+if which == "dgrad":
+    run("774m", 16, True, True, dgrad=False)
+    run("774m", 16, True, True, dgrad="tile")
+    run("1558m", 16, True, True, remat=True, reps=4, dgrad="tile")
 if which in ("1558m", "both"):
     run("1558m", 16, True, True, remat=True, reps=4)   # r3 best config + Pallas CE
     run("1558m", 16, True, True, remat="dots", reps=4)
