@@ -149,9 +149,13 @@ def _paged_attention_ref(q, k_pages, v_pages, lengths, page_indices,
     """XLA oracle: gather each lane's pages into a dense [B, S, H, D]
     view, run the masked decode attention."""
     B, maxp = page_indices.shape
-    # [B, maxp, H, P, D] -> [B, H, maxp*P, D]
-    gk = jnp.moveaxis(jnp.take(k_pages, page_indices, axis=1), 2, 0)
-    gv = jnp.moveaxis(jnp.take(v_pages, page_indices, axis=1), 2, 0)
+    # take along the page axis: [H, NP, P, D] x [B, maxp] -> [H, B, maxp,
+    # P, D]; batch to front then flatten (maxp, P) -> S. (A previous
+    # moveaxis(2, 0) scrambled batch/page axes — the reshape still
+    # "worked" on sizes, so only the on-chip smoke against the TPU
+    # kernel caught it.)
+    gk = jnp.moveaxis(jnp.take(k_pages, page_indices, axis=1), 1, 0)
+    gv = jnp.moveaxis(jnp.take(v_pages, page_indices, axis=1), 1, 0)
     S = maxp * PAGE
     gk = gk.reshape(B, k_pages.shape[0], S, k_pages.shape[-1])
     gv = gv.reshape(B, v_pages.shape[0], S, v_pages.shape[-1])

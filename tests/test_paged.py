@@ -104,3 +104,40 @@ def test_paged_generate_crosses_page_boundary():
                           max_new_tokens=16, decode_chunk=4, max_pages=8)
     a = np.asarray(toks)
     assert a.shape == (B, 16) and ((a >= 0) & (a < 64)).all()
+
+
+def test_paged_attention_ref_vs_independent_oracle():
+    """Regression: the dense-gather reference must match a hand-built
+    per-lane page concatenation. (A moveaxis bug here survived the
+    self-consistent tests — _paged_attention fell back to this same
+    function on CPU — and was only caught by the on-chip smoke against
+    the TPU paged kernel.)"""
+    import numpy as np
+    from koifish_tpu.ops.attention import decode_attention
+    from koifish_tpu.serve.paged import PAGE, _paged_attention_ref
+    Hkv, NP, D, Bp, maxp = 2, 8, 16, 2, 4
+    kp = jax.random.normal(jax.random.PRNGKey(0), (Hkv, NP, PAGE, D),
+                           jnp.float32) * 0.5
+    vp = jax.random.normal(jax.random.PRNGKey(1), (Hkv, NP, PAGE, D),
+                           jnp.float32) * 0.5
+    qq = jax.random.normal(jax.random.PRNGKey(2), (Bp, 2 * Hkv, D),
+                           jnp.float32)
+    tbl = jnp.arange(Bp * maxp, dtype=jnp.int32).reshape(Bp, maxp) % NP
+    lens = jnp.asarray([PAGE * 2 + 3, PAGE * 4], jnp.int32)
+    scale = 1.0 / D ** 0.5
+    ref = _paged_attention_ref(qq, kp, vp, lens, tbl, scale)
+    S = maxp * PAGE
+    k_dense = np.zeros((Bp, S, Hkv, D), np.float32)
+    v_dense = np.zeros((Bp, S, Hkv, D), np.float32)
+    for b in range(Bp):
+        for pi in range(maxp):
+            pg = int(tbl[b, pi])
+            k_dense[b, pi * PAGE:(pi + 1) * PAGE] = np.moveaxis(
+                np.asarray(kp[:, pg]), 0, 1)
+            v_dense[b, pi * PAGE:(pi + 1) * PAGE] = np.moveaxis(
+                np.asarray(vp[:, pg]), 0, 1)
+    mask = np.arange(S)[None, :] < np.asarray(lens)[:, None]
+    gold = decode_attention(qq, jnp.asarray(k_dense), jnp.asarray(v_dense),
+                            jnp.asarray(mask), scale=scale)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(gold),
+                               rtol=1e-5, atol=1e-5)

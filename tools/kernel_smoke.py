@@ -291,6 +291,59 @@ def main() -> int:
         q8.astype(jnp.float32) * sc_, x.astype(jnp.float32)))(*colquant(x)),
         tol=0.02)
 
+    # --- fused classifier (lse/gold + dx/dw sweeps), bf16 + int8 ----------
+    from koifish_tpu.ops.pallas import fused_ce as _fce
+    Mf, Ef, Vf = 512, 256, 5000          # tail: 5000 % 1024 != 0
+    hx = (jax.random.normal(jax.random.PRNGKey(11), (Mf, Ef)) * 0.3
+          ).astype(jnp.bfloat16)
+    hw = (jax.random.normal(jax.random.PRNGKey(12), (Ef, Vf)) * 0.02
+          ).astype(jnp.bfloat16)
+    tg = jax.random.randint(jax.random.PRNGKey(13), (Mf,), 0, Vf)
+    tcol = tg[:, None].astype(jnp.int32)
+
+    def _ce_ref():
+        logits = jnp.dot(hx, hw, preferred_element_type=jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(logits, tg[:, None], axis=1)[:, 0]
+        return lse, gold
+
+    def _fce_fwd():
+        lr, gr = _ce_ref()
+        lp, gp = _fce._fwd_call(hx, hw, tcol)
+        return max(_rel(lp[:, 0], lr), _rel(gp[:, 0] + 1e-3, gr + 1e-3))
+    guarded("fused_ce fwd", _fce_fwd, tol=0.01)
+
+    def _fce_bwd():
+        lp, _ = _fce._fwd_call(hx, hw, tcol)
+        wt = jnp.full((Mf, 1), 1.0 / Mf, jnp.float32)
+        dxp = _fce._dx_call(hx, hw, tcol, lp, wt)
+        dwp = _fce._dw_call(hx, hw, tcol, lp, wt)
+
+        def loss(a, b):
+            logits = jnp.dot(a, b, preferred_element_type=jnp.float32)
+            lse = jax.scipy.special.logsumexp(logits, axis=-1)
+            gold = jnp.take_along_axis(logits, tg[:, None], axis=1)[:, 0]
+            return jnp.mean(lse - gold)
+        gx, gw = jax.grad(loss, argnums=(0, 1))(hx, hw)
+        return max(_rel(dxp, gx), _rel(dwp, gw))
+    guarded("fused_ce dx/dw", _fce_bwd, tol=0.02)
+
+    # --- per-tile int8 dgrad ----------------------------------------------
+    from koifish_tpu.ops.pallas.qdgrad import dgrad_int8_tile_or_none
+    dyq = (jax.random.normal(jax.random.PRNGKey(14), (512, 2048)) * 0.1
+           ).astype(jnp.bfloat16)
+    wd0 = jax.random.normal(jax.random.PRNGKey(15), (256, 2048)) * 0.05
+    swd = jnp.max(jnp.abs(wd0), axis=0, keepdims=True) / 127.0
+    wqd = jnp.clip(jnp.round(wd0 / swd), -127, 127).astype(jnp.int8)
+
+    def _qdg():
+        got = dgrad_int8_tile_or_none(dyq, wqd, swd)
+        assert got is not None
+        wdd = (wqd.astype(jnp.float32) * swd).astype(jnp.bfloat16)
+        ref = jnp.dot(dyq, wdd.T, preferred_element_type=jnp.float32)
+        return _rel(got, ref)
+    guarded("qdgrad int8 tile", _qdg, tol=0.02)
+
     print(f"\n{'ALL KERNELS OK' if not failures else 'FAILURES: ' + str(failures)}")
     return 1 if failures else 0
 
