@@ -227,7 +227,61 @@ def bench_train(args, emit=True):
     return result
 
 
-def _run_section(mode: str, extra: list[str], deadline: float) -> dict:
+def bench_bigmodels(emit=True):
+    """GPT2-774M and 1558M training throughput in ONE process (TPU init
+    and compile-cache amortized) — driver-verified evidence for the
+    big-model rows of PARITY.md. Tuned configs from tools/sweep_r4.py:
+    774M B=16 no-remat, 1558M B=16 full remat; both int8 fwd GEMMs +
+    Pallas fused classifier + bf16 Adam moments. Reference anchors:
+    774M ~70K claimed (README.md:12), 1558M 22.1K measured
+    (cases/gpt2/1558M_F8_B80/F8_B80.info)."""
+    import jax
+    import jax.numpy as jnp
+    from koifish_tpu.config import ModelCard, TrainCard
+    from koifish_tpu.train.trainer import init_train_state, make_train_step
+
+    dims = {
+        "774m": (dict(n_layer=36, n_embd=1280, n_head=20, n_ffn=5120),
+                 False, 8, 70_000.0),
+        "1558m": (dict(n_layer=48, n_embd=1600, n_head=25, n_ffn=6400),
+                  True, 4, 22_100.0),
+    }
+    result = {"metric": "gpt2-774m/1558m pretrain throughput (1 chip, "
+                        "B=16, int8 fwd + fused-CE kernels, bf16 moments)",
+              "unit": "tokens/sec/chip"}
+    for name, (d, remat, reps, anchor_tps) in dims.items():
+        card = ModelCard.from_arch("GPT2", vocab_size=50304,
+                                   n_kv_head=d["n_head"], head_dim=64,
+                                   n_ctx=1024, max_pos=1024, **d)
+        tcard = TrainCard(batch=16, lr=6e-4, warmup=10, optimizer="adamw",
+                          moment_dtype="bf16", remat=remat,
+                          int8_matmul=True, int8_min_kn=4 << 20,
+                          fused_ce=True)
+        step = make_train_step(card, tcard, total_steps=1000)
+        state = init_train_state(card, tcard)
+        tokens = jax.random.randint(jax.random.PRNGKey(0), (1, 16, 1025),
+                                    0, card.vocab_size, jnp.int32)
+        batch = {"tokens": tokens}
+        for _ in range(3):
+            state, m = step(state, batch)
+        loss = float(m["loss"])
+        assert 0.0 < loss < 100.0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, m = step(state, batch)
+        loss = float(m["loss"])
+        dt = (time.perf_counter() - t0) / reps
+        tps = 16 * 1024 / dt
+        result[f"gpt2_{name}_tok_s"] = round(tps, 1)
+        result[f"gpt2_{name}_vs_ref"] = round(tps / anchor_tps, 3)
+        del state, step
+    if emit:
+        print(json.dumps(result), flush=True)
+    return result
+
+
+def _run_section(mode: str, extra: list[str], deadline: float,
+                 delays=RETRY_DELAYS_S) -> dict:
     """Run one bench section in a subprocess with bounded retries.
 
     A fresh process per attempt is deliberate: JAX caches a failed
@@ -237,10 +291,10 @@ def _run_section(mode: str, extra: list[str], deadline: float) -> dict:
     Returns the section's JSON dict, or {"error": ...} after all retries.
     """
     last_err = "unknown"
-    for i, delay in enumerate(RETRY_DELAYS_S):
+    for i, delay in enumerate(delays):
         if delay:
             print(f"[bench] retrying {mode} in {delay}s "
-                  f"(attempt {i + 1}/{len(RETRY_DELAYS_S)}): {last_err[:160]}",
+                  f"(attempt {i + 1}/{len(delays)}): {last_err[:160]}",
                   file=sys.stderr, flush=True)
             time.sleep(delay)
         budget = deadline - time.monotonic()
@@ -277,7 +331,7 @@ def _run_section(mode: str, extra: list[str], deadline: float) -> dict:
         last_err = (f"rc={proc.returncode}: " +
                     " | ".join(tail[-3:]))[:500] if tail else \
                    f"rc={proc.returncode}, no output"
-    return {"error": f"{mode} failed after {len(RETRY_DELAYS_S)} attempts: "
+    return {"error": f"{mode} failed after {len(delays)} attempts: "
                      f"{last_err}"}
 
 
@@ -310,12 +364,28 @@ def _orchestrate(args) -> None:
         final["decode_metric"] = decode.get("metric")
         final["decode_step_ms"] = decode.get("step_ms")
         final["ttft_warm_s"] = decode.get("ttft_warm_s")
+    # second partial line: headline + decode are now safe on record
     print(json.dumps(final), flush=True)
+
+    # big-model training evidence (GPT2-774M/1558M in ONE subprocess —
+    # TPU init amortized). Single attempt, runs LAST: a failure or the
+    # total deadline cannot erase anything above.
+    if time.monotonic() + 240 < deadline:
+        big = _run_section("bigmodels", [], deadline, delays=(0.0,))
+        if "error" in big:
+            final["bigmodels_error"] = big["error"][:300]
+        else:
+            final["gpt2_774m_tok_s"] = big.get("gpt2_774m_tok_s")
+            final["gpt2_774m_vs_ref"] = big.get("gpt2_774m_vs_ref")
+            final["gpt2_1558m_tok_s"] = big.get("gpt2_1558m_tok_s")
+            final["gpt2_1558m_vs_ref"] = big.get("gpt2_1558m_vs_ref")
+        print(json.dumps(final), flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="all", choices=["all", "train", "decode"])
+    ap.add_argument("--mode", default="all",
+                    choices=["all", "train", "decode", "bigmodels"])
     ap.add_argument("--model", default="gpt2-124m")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=8)
@@ -331,6 +401,9 @@ def main():
         if args.batch == 16:   # decode default: best measured config
             args.batch = 32
         bench_decode(args)
+        return
+    if args.mode == "bigmodels":
+        bench_bigmodels()
         return
     if args.mode == "train":
         bench_train(args)
