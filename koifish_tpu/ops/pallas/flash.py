@@ -43,6 +43,9 @@ _NEG_INF = -1e30
 import os as _os
 BQ = int(_os.environ.get("KOIFISH_FLASH_BQ", 1024))
 BK = int(_os.environ.get("KOIFISH_FLASH_BK", 1024))
+# strip rows for the single-tile strip-tiled kernels (256 measured best
+# at 774M; env knob for sweeps)
+QS_ROWS = int(_os.environ.get("KOIFISH_FLASH_QS", 256))
 
 
 def _tiles(t: int):
@@ -171,7 +174,7 @@ _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 def _flash_fwd_call(qh, kh, vh, *, g: int, scale: float, window: int = 0):
     bh, t, d = qh.shape
     bq, bk = _tiles(t)
-    if t == bq == bk and t % min(256, t) == 0:
+    if t == bq == bk and t % min(QS_ROWS, t) == 0:
         # strip-tiled direct-softmax single-tile path (see the cols
         # variant) — this head-major route serves head counts the
         # column layout can't 128-lane-align (e.g. GPT2-1558M's H=25)
@@ -305,7 +308,7 @@ def _fwd_single(qh, kh, vh, *, g, scale, window, t, d):
 def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                        *, scale, T, window=0):
     qb, kb, vb = q_ref[0], k_ref[0], v_ref[0]
-    QS = min(256, T)
+    QS = min(QS_ROWS, T)
     ql = (qb.astype(jnp.float32) * scale).astype(jnp.bfloat16)
     o_s, lse_s = [], []
     for q0 in range(0, T, QS):
@@ -425,7 +428,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
     lse_b = lse_ref[0]
     qs = (qb.astype(jnp.float32) * scale).astype(jnp.bfloat16)
     # strip-tiled with static causal K extents (see _bwd_cols_fused_kernel)
-    QS = min(256, T)
+    QS = min(QS_ROWS, T)
     n_strips = T // QS
     dq_s = []
     segs_k = [None] * n_strips
@@ -710,7 +713,7 @@ def _flash_cols_fwd_call(qc, kc, vc, *, hq: int, scale: float,
     hb, hbk, g = _col_cfg(hq, hkv, d)
     G = hq // hb
     bq, bk = _tiles(t)
-    if t == bq == bk and t % min(256, t) == 0:
+    if t == bq == bk and t % min(QS_ROWS, t) == 0:
         # whole sequence in one program: strip-tiled direct softmax
         # (static causal K extents; no online-softmax accumulators)
         return _fwd_cols_single(qc, kc, vc, hb=hb, hbk=hbk, g=g, d=d,
@@ -855,7 +858,7 @@ def _fwd_cols_single(qc, kc, vc, *, hb, hbk, g, d, G, scale, window, t):
 def _fwd_cols_single_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                             *, scale, T, HB, D, GQ, window=0):
     qb, kb, vb = q_ref[0], k_ref[0], v_ref[0]
-    QS = min(256, T)
+    QS = min(QS_ROWS, T)
     o_c, lse_c = [], []
     for hh in range(HB):
         kvc = (hh // GQ) * D
@@ -954,7 +957,7 @@ def _bwd_cols_fused_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
     (28 us/program ≈ VPU 14.5 + MXU 19 at GPT2-774M shapes)."""
     qb, kb, vb, gb, ob = q_ref[0], k_ref[0], v_ref[0], g_ref[0], o_ref[0]
     lse_b = lse_ref[0, 0]                                      # (T, HB)
-    QS = min(256, T)
+    QS = min(QS_ROWS, T)
     dq_c = []
     dk_c = [None] * HBK
     dv_c = [None] * HBK
