@@ -476,3 +476,41 @@ def test_koifish_sp_cli(tmp_path):
     with open(tmp_path / "koifish_loss.csv") as f:
         rows = list(csv.DictReader(f))
     assert float(rows[-1]["loss"]) < float(rows[0]["loss"])
+
+
+def test_koifish_guppy_and_llama_vae_cli(tmp_path):
+    """The two round-4 archs train through the product surface: a
+    reference-style JSON config with arch GUPPY (vocab-memory FFN) and
+    arch LLAMA_VAE (token_embeds latent list) -> koifish -> loss falls."""
+    seq = (np.arange(40000) % 64).astype(np.uint32)
+    write_shard(str(tmp_path / "p_train_0.bin"), seq, MAGIC_QWEN3, 300)
+    for arch, extra_p in [("GUPPY", {}),
+                          ("LLAMA_VAE", {"token_embeds": [24]})]:
+        cfg = {
+            "model": {"arch": arch, "vocab_size": 300,
+                      "parameter": dict(
+                          {"Layer": 2,
+                           "transformer": {"Ctx": 32, "Embed": 64,
+                                           "Ffn": 96, "Head": 4,
+                                           "KVHead": 4, "head_dim": 16}},
+                          **extra_p)},
+            "train": {"batch": 8, "learning-rate": 0.02, "dump-every": 5,
+                      "warmup": 3,
+                      "optimizatioin": {"method": "adamw",
+                                        "grad_accumulation": 1}},
+            "datasets": {"train": {"glob": str(tmp_path / "p_train_*.bin"),
+                                   "name": "pattern"}},
+            "debug": {"most_iter": 30},
+            "seed": 42,
+        }
+        cfgp = str(tmp_path / f"cfg_{arch}.json")
+        with open(cfgp, "w") as f:
+            json.dump(cfg, f)
+        out = str(tmp_path / arch)
+        os.makedirs(out, exist_ok=True)
+        r = run_cli("koifish", cfgp, "--device", "cpu", "--out-dir", out)
+        assert r.returncode == 0, (arch, r.stderr[-2000:])
+        with open(os.path.join(out, "koifish_loss.csv")) as f:
+            rows = list(csv.DictReader(f))
+        first, last = float(rows[0]["loss"]), float(rows[-1]["loss"])
+        assert last < first * 0.6, (arch, first, last)
