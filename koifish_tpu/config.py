@@ -479,7 +479,18 @@ class TrainCard:
                                         card.moment_dtype)).lower()
         card.int8_matmul = bool(opt.get("int8_matmul", card.int8_matmul))
         dg = opt.get("int8_dgrad", card.int8_dgrad)
-        card.int8_dgrad = dg if isinstance(dg, str) else bool(dg)
+        if isinstance(dg, str):
+            dg = dg.lower()
+            if dg in ("off", "false", "none", ""):
+                dg = False
+            elif dg == "fold":
+                dg = True
+            elif dg != "tile":
+                raise ValueError(
+                    f"int8_dgrad must be off|fold|tile, got {dg!r}")
+        else:
+            dg = bool(dg)
+        card.int8_dgrad = dg
         card.int8_min_kn = int(opt.get("int8_min_kn", card.int8_min_kn))
         if "fused_ce" in opt:
             card.fused_ce = bool(opt["fused_ce"])

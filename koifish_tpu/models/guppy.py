@@ -41,16 +41,29 @@ def sample_ids(card: ModelCard, rng: Optional[jax.Array]) -> jax.Array:
 def inject_rows(card: ModelCard, params: Dict[str, Any],
                 samps: Optional[jax.Array]) -> Dict[str, Any]:
     """Return params with per-layer ``guppy_rows`` = wte[samps[l]] views
-    injected (differentiable gather — wte trains through the FFN)."""
+    injected (differentiable gather — wte trains through the FFN).
+    No-op when rows are already present. Handles both per-layer-list
+    params and layer-stacked params (serve/stacked.py)."""
     if card.arch != "GUPPY":
         return params
     from koifish_tpu.models.transformer import gather_embed
     if samps is None:
         samps = sample_ids(card, None)
     out = dict(params)
-    out["layers"] = [dict(lp, guppy_rows=gather_embed(params["wte"],
-                                                      samps[li]))
-                     for li, lp in enumerate(params["layers"])]
+    layers = params["layers"]
+    if isinstance(layers, list):
+        if "guppy_rows" in layers[0]:
+            return params
+        out["layers"] = [dict(lp, guppy_rows=gather_embed(params["wte"],
+                                                          samps[li]))
+                         for li, lp in enumerate(layers)]
+    else:   # stacked: one [L, F, E] rows leaf rides the scanned dict
+        if "guppy_rows" in layers:
+            return params
+        L, F = samps.shape
+        rows = gather_embed(params["wte"], samps.reshape(-1))
+        out["layers"] = dict(layers,
+                             guppy_rows=rows.reshape(L, F, rows.shape[-1]))
     return out
 
 

@@ -75,7 +75,9 @@ def init_params(card: ModelCard, key: jax.Array, dtype=jnp.bfloat16) -> Params:
         # (reference LLAMA_VAE, gLLM.hpp:163-182; latent_dim default 192)
         from koifish_tpu.models.embed_vae import init_embed_vae
         dims = [E] + list(card.token_embeds or (192,))
-        params["evae"] = init_embed_vae(keys[2], dims, dtype=dtype)
+        # fresh key: keys[2] already seeds the untied head
+        params["evae"] = init_embed_vae(jax.random.fold_in(keys[2], 7),
+                                        dims, dtype=dtype)
 
     layers: List[Params] = []
     for li in range(L):

@@ -104,7 +104,6 @@ def _bwd(wgrad, dgrad, res, g):
     lead = x.shape[:-1]
     g2 = g.reshape(-1, g.shape[-1])
 
-    dx = None
     if dgrad == "tile":
         # per-tile dynamic quantization INSIDE the kernel: the fold and
         # the quant pass run in VMEM, zero extra HBM traffic (the
@@ -112,7 +111,6 @@ def _bwd(wgrad, dgrad, res, g):
         # net-negative at 774M widths — ops/pallas/qdgrad.py)
         from koifish_tpu.ops.pallas.qdgrad import dgrad_int8_tile_or_none
         dx = dgrad_int8_tile_or_none(g2, wq, sw)
-    if dx is not None or dgrad == "tile":
         if dx is None:   # shape ineligible -> the measured-best bf16 dot
             wd = (wq.astype(jnp.float32) * sw).astype(jnp.bfloat16)
             dx = jnp.dot(g2.astype(jnp.bfloat16), wd.T,

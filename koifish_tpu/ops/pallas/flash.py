@@ -345,7 +345,7 @@ def _flash_bwd_call(qh, kh, vh, out, lse, gh, *, hkv: int, scale: float,
     # dO and O tiles: materializing it as a [bh,t,1] array costs a
     # {1,0,2}->{2,1,0} relayout copy at every pallas boundary (~0.3 ms
     # each on v5e — XLA won't no-op the degenerate-dim relayout).
-    if t == bq == bk:
+    if t == bq == bk and t % min(QS_ROWS, t) == 0:
         return _bwd_fused(qh, kh, vh, gh, out, lse, g=g, scale=scale,
                           window=window, d=d, t=t)
     return _bwd_twopass(qh, kh, vh, gh, out, lse, g=g, scale=scale,
@@ -898,7 +898,7 @@ def _flash_cols_bwd_call(qc, kc, vc, out, lse, gc, *, hq: int, scale: float,
     hb, hbk, g = _col_cfg(hq, hkv, d)
     G = hq // hb
     bq, bk = _tiles(t)
-    if t == bq == bk:
+    if t == bq == bk and t % min(QS_ROWS, t) == 0:
         return _bwd_cols_fused(qc, kc, vc, gc, out, lse, G=G, hb=hb,
                                hbk=hbk, g=g, d=d, scale=scale,
                                window=window, t=t)

@@ -364,8 +364,13 @@ def _ce(x, w, tgt_col, mask_col, int8):
 def _ce_fwd(x, w, tgt_col, mask_col, int8):
     if int8:
         xq, sx = _q8_row(x)
-        wq_t, sw_t = _q8_row(w.T)          # per-OUTPUT-column scales
-        wq, sw = wq_t.T, sw_t.reshape(1, -1)
+        # per-OUTPUT-column scales, computed in place (quantizing w.T
+        # row-wise round-trips two full transposes of the head)
+        sw = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0,
+                     keepdims=True) / 127.0
+        sw = jnp.maximum(sw, 1e-12)
+        wq = jnp.clip(jnp.round(w.astype(jnp.float32) / sw), -127, 127
+                      ).astype(jnp.int8)
         lse, gold = _fwd_call(xq, wq, tgt_col, sx, sw, int8=True)
         quant = (xq, sx, wq, sw)
     else:

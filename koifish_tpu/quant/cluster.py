@@ -146,9 +146,13 @@ def quantize_mini(w: jax.Array, bits: int = 4, group: int = DEFAULT_GROUP,
         codes = jax.vmap(jnp.searchsorted)(mids, x).astype(jnp.uint8)
         return cents * absmax, codes
 
-    if R > row_chunk and R % row_chunk == 0:
-        books, raw = jax.lax.map(fit_rows,
-                                 w2.reshape(-1, row_chunk, C))
+    # chunk with the largest divisor of R <= row_chunk: the unchunked
+    # Lloyd fit builds [R, C, k] distance tensors (hundreds of GB at
+    # model widths), so rows like 1600 must still chunk (e.g. at 64)
+    rc = next((c for c in (256, 128, 64, 32, 16, 8, 1)
+               if c <= row_chunk and R % c == 0), 1)
+    if R > rc > 1:
+        books, raw = jax.lax.map(fit_rows, w2.reshape(-1, rc, C))
         books = books.reshape(R, k)
         raw = raw.reshape(R, C)
     else:

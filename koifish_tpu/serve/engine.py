@@ -66,6 +66,12 @@ def prefill(card: ModelCard, params: Params, tokens: jax.Array,
     the TTFT fast path. Callers check ``int(cache.pos[0]) == 0``.
     """
     B, T = tokens.shape
+    if card.arch == "GUPPY":
+        # serving uses the deterministic seed-0 FFN row sample; no-op
+        # if the caller already injected (covers BatchEngine and
+        # caller-stacked decode_params paths, not just generate())
+        from koifish_tpu.models.guppy import inject_rows
+        params = inject_rows(card, params, None)
     start = cache.pos[0]                       # uniform-start batch
     if getattr(card, "gau_layers", ()):
         raise NotImplementedError(
@@ -125,6 +131,9 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
     ``streaming`` (static): False compiles out the per-step sink re-rope
     — sound when pos + steps <= cache.size for every dispatched step
     (see layered.decode_step_layered)."""
+    if card.arch == "GUPPY":
+        from koifish_tpu.models.guppy import inject_rows
+        params = inject_rows(card, params, None)
     if not isinstance(params["layers"], list):
         from koifish_tpu.serve.stacked import decode_step_stacked
         return decode_step_stacked(card, params, token, cache, streaming)

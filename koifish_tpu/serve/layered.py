@@ -106,6 +106,9 @@ def decode_step_layered(card: ModelCard, params: Params, token: jax.Array,
     step), so pre-wrap decode uses a separate executable, like the
     prefill ``fresh`` flag."""
     from koifish_tpu.serve.engine import _decode_rope, _rope_tables
+    if card.arch == "GUPPY":
+        from koifish_tpu.models.guppy import inject_rows
+        params = inject_rows(card, params, None)
     B = token.shape[0]
     if card.attn == "mla":
         positions = jnp.minimum(lc.pos, card.max_pos - 1)[:, None]

@@ -493,3 +493,26 @@ def test_llama_vae_trains():
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.6, (losses[0], losses[-1])
+
+
+def test_guppy_serves_via_stacked_and_batch_paths():
+    """Regression: GUPPY row injection must happen in the serve entry
+    points themselves (prefill/decode_step/layered), not only inside
+    generate() — caller-stacked decode params (the bubble.py pattern)
+    previously hit KeyError('guppy_rows')."""
+    from koifish_tpu.config import SamplerCard
+    from koifish_tpu.serve import generate, init_cache
+    from koifish_tpu.serve.stacked import stack_layers
+    card = ModelCard.from_arch("GUPPY", vocab_size=64, n_layer=2, n_embd=64,
+                               n_head=4, n_kv_head=4, head_dim=16, n_ffn=96,
+                               n_ctx=32, max_pos=64)
+    params = init_params(card, jax.random.PRNGKey(0))
+    sparams = stack_layers(params)
+    assert sparams is not None
+    cache = init_cache(card.n_layer, 1, 32, card.n_kv_head, card.head_dim)
+    prompt = (jnp.arange(8)[None] + 3).astype(jnp.int32) % 64
+    toks, _ = generate(card, params, prompt, cache,
+                       sampler=SamplerCard(temperature=0.0),
+                       max_new_tokens=4, decode_params=sparams)
+    assert toks.shape == (1, 4)
+    assert bool(jnp.all((toks >= 0) & (toks < 64)))
