@@ -73,9 +73,9 @@ def bench_decode(args, emit=True):
     from koifish_tpu.models import init_params
     from koifish_tpu.quant.apply import quantize_params
     from koifish_tpu.serve import init_cache
-    from koifish_tpu.serve.engine import (_jit_decode_sample_layered,
-                                          _jit_decode_sample_layered_k,
-                                          _jit_prefill, _jit_split_cache)
+    from koifish_tpu.serve.engine import (jit_decode_sample_layered,
+                                          jit_decode_sample_layered_k,
+                                          jit_prefill, jit_split_cache)
     from koifish_tpu.serve.stacked import stack_layers
     from koifish_tpu.ops.sampling import sample_logits
 
@@ -97,14 +97,14 @@ def bench_decode(args, emit=True):
     # what the engine picks for an empty cache (engine.generate checks
     # cache.pos == 0): in-chunk flash attention, no masked full-cache read.
     # The sampler is warmed too — its first eager dispatch compiles.
-    logits, cache = _jit_prefill(card, params, prompt, cache, fresh=True)
+    logits, cache = jit_prefill(card, params, prompt, cache, fresh=True)
     tok = sample_logits(rng, logits, sampler.temperature, sampler.top_k,
                         sampler.top_p)
     int(tok[0])
     cache = init_cache(card.n_layer, B, S, card.n_kv_head, card.head_dim,
                        fmt=QFormat.INT8)
     t0 = time.perf_counter()
-    logits, cache = _jit_prefill(card, params, prompt, cache, fresh=True)
+    logits, cache = jit_prefill(card, params, prompt, cache, fresh=True)
     tok = sample_logits(rng, logits, sampler.temperature, sampler.top_k,
                         sampler.top_p)
     int(tok[0])  # sync
@@ -115,11 +115,11 @@ def bench_decode(args, emit=True):
     # decode_chunk): K decode+sample steps per executable — on this
     # tunneled runtime a per-token dispatch measures the ~30 ms host RTT,
     # not the chip (121 vs 269 agg tok/s in the serving bench).
-    lc = _jit_split_cache(cache, uniform=True)
+    lc = jit_split_cache(cache, uniform=True)
     K = 16
     # pre-wrap dispatch (pos + K <= S): sink re-rope compiled out — the
     # same host-side rule engine.generate applies per chunk
-    toks, lc, rng = _jit_decode_sample_layered_k(card, dparams, tok, lc,
+    toks, lc, rng = jit_decode_sample_layered_k(card, dparams, tok, lc,
                                                  rng, sampler, K,
                                                  streaming=False)
     tok = toks[-1]
@@ -127,7 +127,7 @@ def bench_decode(args, emit=True):
     N = max(args.steps // K, 2)
     t0 = time.perf_counter()
     for _ in range(N):
-        toks, lc, rng = _jit_decode_sample_layered_k(card, dparams, tok, lc,
+        toks, lc, rng = jit_decode_sample_layered_k(card, dparams, tok, lc,
                                                      rng, sampler, K,
                                                      streaming=False)
         tok = toks[-1]
@@ -135,12 +135,12 @@ def bench_decode(args, emit=True):
     dt = (time.perf_counter() - t0) / (N * K)
 
     # per-token dispatch (host-RTT-bound here; real interactive floor)
-    tok, lc, rng = _jit_decode_sample_layered(card, dparams, tok, lc, rng,
+    tok, lc, rng = jit_decode_sample_layered(card, dparams, tok, lc, rng,
                                               sampler, streaming=False)
     int(tok[0])
     t0 = time.perf_counter()
     for _ in range(8):
-        tok, lc, rng = _jit_decode_sample_layered(card, dparams, tok, lc,
+        tok, lc, rng = jit_decode_sample_layered(card, dparams, tok, lc,
                                                   rng, sampler,
                                                   streaming=False)
     int(tok[0])

@@ -28,6 +28,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--temperature", type=float, default=0.6)
     ap.add_argument("--top-k", type=int, default=50)
     ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--metropolis", action="store_true",
+                    help="GOPT_Metropolis sampling: CDF over the full "
+                         "softmax of the raw logits (GoPT.cpp:516)")
     ap.add_argument("--approx-topk", action="store_true",
                     help="approximate top-k cut (lax.approx_max_k, recall "
                          "~0.95): ~10x faster than the exact sort on large "
@@ -117,7 +120,8 @@ def main(argv=None) -> int:
     kv_fmt = QFormat.BF16 if not args.kv_bits else qformat_from_bits(args.kv_bits)
     sampler = SamplerCard(temperature=args.temperature, top_k=args.top_k,
                           top_p=args.top_p, max_new_tokens=args.max_new,
-                          approx_top_k=args.approx_topk)
+                          approx_top_k=args.approx_topk,
+                          method="metropolis" if args.metropolis else "topk")
     eos = tokenizer.token_id("<|im_end|>") or tokenizer.token_id("<|endoftext|>") or -1
 
     from koifish_tpu.serve import cache_for

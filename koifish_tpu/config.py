@@ -423,11 +423,21 @@ class TrainCard:
                                      # g_float.hpp:248) — bf16 halves
                                      # optimizer HBM (12.5 -> 6.2 GB at
                                      # GPT2-1558M, what lets AdamW fit)
+    # stochastic rounding on bf16 STORAGE writebacks (params + moments):
+    # "auto"/True = on for every bf16 leaf (the reference's seeded SR in
+    # CU_adamw_p, Optimizer.cu:135-393 — round-to-nearest drops every
+    # sub-half-ulp update systematically); False = deterministic RTN
+    stochastic_round: Any = "auto"
     weight_decay: float = 0.1
     beta1: float = 0.9
     beta2: float = 0.95
     eps: float = 1e-8
     grad_clip: float = 1.0
+    # LARS per-tensor trust ratio cap (reference config.lars_ratio,
+    # CLI_params.hpp:1034; GTensor::rLARS, GTensor.cpp:24-33): when > 0,
+    # each >=2D leaf's gradient is rescaled by
+    # min(||w|| / (||g|| + 1e-8), lars_ratio). 0 = off (reference default)
+    lars_ratio: float = 0.0
     muon_lr_ratio: float = 1.0
     muon_momentum: float = 0.95
     remat: Any = True                # jax.checkpoint (reference "Rematerialisation");
@@ -453,6 +463,10 @@ class TrainCard:
     # kernel-version selectors (verInferQKV, T_GEMM, ...) have no analog
     nn_structure: bool = True        # dump the param tree at startup
     check_tensor_norm: bool = False  # per-leaf grad-norm watch in metrics
+    kernel_choices: bool = False     # verbose kernel-dispatch log (also
+                                     # logs POSITIVE fused-path picks;
+                                     # fallbacks log by default on TPU —
+                                     # utils/kernel_log.py)
     graph_dump: str = ""             # write the step's StableHLO here
     time_most: float = 0.0           # abort training after N seconds (Time_most)
     train_csv_path: str = ""         # loss CSV override (DUMP_SWITCH)
@@ -492,6 +506,16 @@ class TrainCard:
             dg = bool(dg)
         card.int8_dgrad = dg
         card.int8_min_kn = int(opt.get("int8_min_kn", card.int8_min_kn))
+        card.lars_ratio = float(opt.get("lars_ratio",
+                                        jt.get("lars_ratio",
+                                               card.lars_ratio)))
+        srj = opt.get("stochastic_round", card.stochastic_round)
+        if isinstance(srj, str):
+            srj = False if srj.lower() in ("off", "false", "0", "none") \
+                else "auto"
+        else:
+            srj = bool(srj)
+        card.stochastic_round = srj
         if "fused_ce" in opt:
             card.fused_ce = bool(opt["fused_ce"])
         sched = jt.get("scheduler", {})
@@ -515,6 +539,8 @@ class TrainCard:
                                                        card.time_most)))
             card.train_csv_path = str(debug.get("train_csv_path",
                                                 card.train_csv_path))
+            card.kernel_choices = bool(debug.get("kernel_choices",
+                                                 card.kernel_choices))
         return card
 
 
@@ -552,6 +578,10 @@ class SamplerCard:
     # sampled distribution vs the reference's exact top-k heap
     # (GoPT.hpp:86-88) — default is EXACT
     approx_top_k: bool = False
+    # "topk" (GeneratOnPrompt::Sample pipeline) | "metropolis" — the
+    # reference's GOPT_Metropolis generator (GoPT.cpp:516): plain CDF
+    # sampling over the full softmax of the raw logits
+    method: str = "topk"
 
 
 @dataclasses.dataclass
@@ -641,6 +671,18 @@ class CLIParams:
         for name, jd in raw.get("datasets", {}).items():
             if isinstance(jd, dict):
                 p.datasets[name] = DatasetCard.from_json(jd)
+        cs = raw.get("chat_sampler", raw.get("sampler", {}))
+        if isinstance(cs, dict) and cs:
+            sd = p.sampler
+            p.sampler = SamplerCard(
+                temperature=float(cs.get("temperature", sd.temperature)),
+                top_p=float(cs.get("top_p", sd.top_p)),
+                top_k=int(cs.get("top_k", sd.top_k)),
+                min_p=float(cs.get("min_p", sd.min_p)),
+                max_new_tokens=int(cs.get("max_new_tokens",
+                                          sd.max_new_tokens)),
+                seed=int(cs.get("seed", sd.seed)),
+                method=str(cs.get("method", sd.method)).lower())
         dbg = raw.get("debug", {})
         p.prompts = list(dbg.get("prompts", []))
         p.seed = int(raw.get("seed", 42))

@@ -90,6 +90,12 @@ def decode_attention_quant_or_none(
         and v_codes.dtype == k_codes.dtype
     )
     if not eligible:
+        from koifish_tpu.utils import kernel_log
+        kernel_log.fallback(
+            "decode_attention_int8",
+            f"b={b} hq={hq} hkv={hkv} d={d} dv={dv} s={s} "
+            f"dtype={k_codes.dtype}: need d/dv in (64,128,192,256), "
+            f"g<= {GPAD}, S tile-able, int8/int4 codes -> XLA dequant")
         return None
     hb = next(h for h in (HB, 8, 4, 2, 1) if bh % h == 0)
 

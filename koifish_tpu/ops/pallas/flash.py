@@ -108,10 +108,18 @@ def _col_cfg(hq: int, hkv: int, d: int) -> Optional[tuple]:
 def flash_attention_or_none(q, k, v, *, scale: float, window: int = 0
                             ) -> Optional[jax.Array]:
     """Differentiable causal flash attention (Pallas fwd + bwd kernels)."""
+    from koifish_tpu.utils import kernel_log
     if not _eligible(q, k, window) or v.shape[-1] != q.shape[-1]:
+        kernel_log.fallback(
+            "flash_attention",
+            f"q{tuple(q.shape)} k{tuple(k.shape)} dv={v.shape[-1]} "
+            f"window={window}: need tq==tk, d in (64,128,256), dv==d, "
+            f"hq%hkv==0, window>=0, T tile-able")
         return None
     b, t, hq, d = q.shape
     if _col_cfg(hq, k.shape[2], d) is not None:
+        kernel_log.choice("flash_attention",
+                          f"column path q{tuple(q.shape)} window={window}")
         # transpose-free path: kernels consume the QKV projection's
         # native [B, T, H*D] layout via column BlockSpecs — the
         # [B,T,H,D]<->[B,H,T,D] relayout copies (96 per GPT2 step,
@@ -120,6 +128,8 @@ def flash_attention_or_none(q, k, v, *, scale: float, window: int = 0
                                k.reshape(b, t, -1), v.reshape(b, t, -1),
                                hq, scale, window)
         return out.reshape(b, t, hq, d)
+    kernel_log.choice("flash_attention",
+                      f"head-major path q{tuple(q.shape)} window={window}")
     return _flash_diff(q, k, v, scale, window)
 
 

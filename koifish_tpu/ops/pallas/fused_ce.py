@@ -412,8 +412,14 @@ def fused_ce_pallas_or_none(
     int8 MXU dots; None = follow the ambient Int8Policy."""
     B, T, E = hidden.shape
     V = head_w.shape[-1]
+    from koifish_tpu.utils import kernel_log
     if not eligible(B * T, E, V):
+        kernel_log.fallback(
+            "fused_ce",
+            f"m={B * T} E={E} V={V}: need m%128==0, sublane-aligned "
+            f"E<=4096, V>=2048 -> XLA chunk-scan CE")
         return None
+    kernel_log.choice("fused_ce", f"m={B * T} E={E} V={V}")
     if int8 is None:
         from koifish_tpu.ops.tracectx import current_int8
         pol = current_int8()

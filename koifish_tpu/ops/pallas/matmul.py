@@ -65,6 +65,12 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
         and w.group == 128
     )
     if not base_ok or m < 1:
+        from koifish_tpu.utils import kernel_log
+        kernel_log.fallback(
+            "qmatmul",
+            f"m={m} k={k} n={n} fmt={w.fmt.name} group={w.group} "
+            f"zeros={w.zeros is not None}: need k%1024==0, n%128==0, "
+            f"group==128, symmetric codes -> XLA dequant+dot")
         return _ref_qmatmul(x, w, out_dtype)
     lead = x.shape[:-1]
     x2 = x.reshape(m, k)
@@ -93,6 +99,10 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
         if pad_m:
             y = y[:m]
     else:
+        from koifish_tpu.utils import kernel_log
+        kernel_log.fallback(
+            "qmatmul", f"m={m} in the 32<m<64 dead zone (GEMV pads to 32, "
+            f"GEMM pads to 256) -> XLA dequant+dot")
         return _ref_qmatmul(x, w, out_dtype)
     return y.reshape(*lead, n).astype(out_dtype)
 

@@ -113,7 +113,11 @@ def dgrad_int8_tile_or_none(dy: jax.Array, wq: jax.Array, sw: jax.Array):
     dy [M, N] bf16; wq [K, N] int8 (forward codes); sw [1, N] f32."""
     m, n = dy.shape
     k = wq.shape[0]
+    from koifish_tpu.utils import kernel_log
     if not eligible(m, n, k):
+        kernel_log.fallback("qdgrad_int8_tile",
+                            f"m={m} n={n} k={k} -> bf16 dequant dot")
         return None
+    kernel_log.choice("qdgrad_int8_tile", f"m={m} n={n} k={k}")
     return _dgrad_call(dy.astype(jnp.bfloat16), wq,
                        sw.reshape(1, n).astype(jnp.float32))

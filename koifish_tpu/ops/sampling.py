@@ -20,8 +20,16 @@ def sample_logits(
     top_p: float = 0.95,
     min_p: float = 0.0,
     approx: bool = False,
+    method: str = "topk",
 ) -> jax.Array:
     """Returns sampled token ids [B]. temperature<=0 → greedy.
+
+    ``method``: "topk" (default, the GeneratOnPrompt::Sample pipeline)
+    or "metropolis" — the reference's GOPT_Metropolis generator
+    (GoPT.cpp:516-590) whose live path is plain CDF sampling over the
+    FULL softmax of the raw logits (``Sample_CDF``; no temperature /
+    top-k / top-p filtering — the teacher-logit mixing branches are
+    dead code behind ``assert(0)``). Kept for config parity.
 
     The default is EXACT top-k (matching the reference's CPU heap,
     GoPT.hpp:86-88), computed via ``jax.lax.approx_max_k(recall_target=
@@ -35,6 +43,9 @@ def sample_logits(
     ``approx``: drop recall to ~0.95 on the top-50 (another ~5%
     faster), which silently changes the sampled distribution; opt in
     per request via SamplerCard.approx_top_k / bubble --approx-topk."""
+    if method == "metropolis":
+        return jax.random.categorical(
+            rng, logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -72,12 +83,15 @@ def filtered_probs(
     top_p: float = 0.95,
     min_p: float = 0.0,
     approx: bool = False,
+    method: str = "topk",
 ) -> jax.Array:
     """The DENSE [B, V] probability distribution ``sample_logits`` draws
     from (temperature + top-k/top-p/min-p filtering, renormalized).
     Speculative rejection sampling needs q(v)/p(v) for every v — the
     acceptance test and the residual max(0, p - q) (serve/speculative)."""
     B, V = logits.shape
+    if method == "metropolis":
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     if temperature <= 0.0:
         return jax.nn.one_hot(jnp.argmax(logits, axis=-1), V,
                               dtype=jnp.float32)

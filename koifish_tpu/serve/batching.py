@@ -27,8 +27,8 @@ from koifish_tpu.config import ModelCard, SamplerCard
 from koifish_tpu.dtypes import QFormat
 from koifish_tpu.ops.sampling import sample_logits
 from koifish_tpu.serve import kvcache as kvc
-from koifish_tpu.serve.engine import (_jit_decode_sample_layered,
-    _jit_decode_sample_layered_k, _jit_prefill)
+from koifish_tpu.serve.engine import (jit_decode_sample_layered,
+    jit_decode_sample_layered_k, jit_prefill)
 from koifish_tpu.serve.kvcache import KVCache, init_cache
 from koifish_tpu.serve.layered import LayeredKVCache, split_cache
 
@@ -127,7 +127,7 @@ class ContinuousBatcher:
                 lane = init_cache(self.card.n_layer, 1, self.cache_size,
                                   self.card.n_kv_head, self.card.head_dim,
                                   fmt=self.kv_fmt)
-                logits, _ = _jit_prefill(
+                logits, _ = jit_prefill(
                     self.card, self.params,
                     jnp.zeros((1, b), jnp.int32), lane,
                     return_all_logits=True, fresh=True)
@@ -142,12 +142,12 @@ class ContinuousBatcher:
         import jax.tree_util as jtu
         pool_copy = jtu.tree_map(lambda a: a + 0, self.pool)
         if self.decode_chunk > 1:
-            toks_k, _, _ = _jit_decode_sample_layered_k(
+            toks_k, _, _ = jit_decode_sample_layered_k(
                 self.card, self.decode_params, self.cur_tok, pool_copy,
                 self.rng, self.sampler, self.decode_chunk, streaming=False)
             jax.block_until_ready(toks_k)
         else:
-            tok, _, _ = _jit_decode_sample_layered(
+            tok, _, _ = jit_decode_sample_layered(
                 self.card, self.decode_params, self.cur_tok, pool_copy,
                 self.rng, self.sampler, streaming=False)
             jax.block_until_ready(tok)
@@ -175,7 +175,7 @@ class ContinuousBatcher:
             lane = init_cache(self.card.n_layer, 1, self.cache_size,
                               self.card.n_kv_head, self.card.head_dim,
                               fmt=self.kv_fmt)
-            all_logits, lane = _jit_prefill(
+            all_logits, lane = jit_prefill(
                 self.card, self.params, jnp.asarray([ids], jnp.int32), lane,
                 return_all_logits=True, fresh=True)
             logits = all_logits[:, len(req.prompt) - 1]
@@ -185,7 +185,8 @@ class ContinuousBatcher:
             tok = sample_logits(sub, logits, self.sampler.temperature,
                                 self.sampler.top_k, self.sampler.top_p,
                                 self.sampler.min_p,
-                                getattr(self.sampler, "approx_top_k", False))
+                                getattr(self.sampler, "approx_top_k", False),
+                                getattr(self.sampler, "method", "topk"))
             req.ttft_s = time.perf_counter() - t0
             req.tokens.append(int(tok[0]))
             self.cur_tok = self.cur_tok.at[slot].set(tok[0])
@@ -219,14 +220,14 @@ class ContinuousBatcher:
                       for s in active)
         streaming = max_pos + self.decode_chunk > self.cache_size
         if self.decode_chunk > 1:
-            toks_k, self.pool, self.rng = _jit_decode_sample_layered_k(
+            toks_k, self.pool, self.rng = jit_decode_sample_layered_k(
                 self.card, self.decode_params, self.cur_tok, self.pool,
                 self.rng, self.sampler, self.decode_chunk,
                 streaming=streaming)
             steps = toks_k.tolist()                 # [k, B] — one sync
             self.cur_tok = toks_k[-1]
         else:
-            tok, self.pool, self.rng = _jit_decode_sample_layered(
+            tok, self.pool, self.rng = jit_decode_sample_layered(
                 self.card, self.decode_params, self.cur_tok, self.pool,
                 self.rng, self.sampler, streaming=streaming)
             steps = [tok.tolist()]

@@ -201,7 +201,7 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
     return logits, kvc.advance(cache, 1)
 
 
-_jit_prefill = jax.jit(prefill,
+jit_prefill = jax.jit(prefill,
                        static_argnames=("card", "return_all_logits", "fresh"))
 
 
@@ -220,45 +220,47 @@ def prefill_chunked(card: ModelCard, params: Params, tokens: jax.Array,
             # roll back the padded positions
             pad = chunk - piece.shape[1]
             piece = jnp.pad(piece, ((0, 0), (0, pad)), mode="edge")
-            all_l, cache = _jit_prefill(card, params, piece, cache,
+            all_l, cache = jit_prefill(card, params, piece, cache,
                                         return_all_logits=True)
             logits = all_l[:, piece.shape[1] - pad - 1]
             import dataclasses
             cache = dataclasses.replace(cache, pos=cache.pos - pad)
         else:
-            logits, cache = _jit_prefill(card, params, piece, cache)
+            logits, cache = jit_prefill(card, params, piece, cache)
     return logits, cache
 
 
 @functools.partial(jax.jit, static_argnames=("card", "sampler", "streaming"),
                    donate_argnames=("cache",))
-def _jit_decode_sample(card, params, token, cache, rng, sampler,
+def jit_decode_sample(card, params, token, cache, rng, sampler,
                        streaming=True):
     logits, cache = decode_step(card, params, token, cache, streaming)
     rng, sub = jax.random.split(rng)
     nxt = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                         sampler.top_p, sampler.min_p,
-                        getattr(sampler, 'approx_top_k', False))
+                        getattr(sampler, 'approx_top_k', False),
+                        getattr(sampler, 'method', 'topk'))
     return nxt, cache, rng
 
 
 @functools.partial(jax.jit, static_argnames=("card", "sampler", "streaming"),
                    donate_argnames=("lc",))
-def _jit_decode_sample_layered(card, params, token, lc, rng, sampler,
+def jit_decode_sample_layered(card, params, token, lc, rng, sampler,
                                streaming=True):
     from koifish_tpu.serve.layered import decode_step_layered
     logits, lc = decode_step_layered(card, params, token, lc, streaming)
     rng, sub = jax.random.split(rng)
     nxt = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                         sampler.top_p, sampler.min_p,
-                        getattr(sampler, 'approx_top_k', False))
+                        getattr(sampler, 'approx_top_k', False),
+                        getattr(sampler, 'method', 'topk'))
     return nxt, lc, rng
 
 
 @functools.partial(jax.jit,
                    static_argnames=("card", "sampler", "k", "streaming"),
                    donate_argnames=("lc",))
-def _jit_decode_sample_layered_k(card, params, token, lc, rng, sampler, k,
+def jit_decode_sample_layered_k(card, params, token, lc, rng, sampler, k,
                                  streaming=True):
     """K layered decode+sample steps per dispatch (lax.scan over tokens;
     per-layer cache leaves are loop carries XLA updates in place)."""
@@ -270,7 +272,8 @@ def _jit_decode_sample_layered_k(card, params, token, lc, rng, sampler, k,
         rng, sub = jax.random.split(rng)
         tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                             sampler.top_p, sampler.min_p,
-                        getattr(sampler, 'approx_top_k', False))
+                        getattr(sampler, 'approx_top_k', False),
+                        getattr(sampler, 'method', 'topk'))
         return (tok, lc, rng), tok
 
     (token, lc, rng), toks = jax.lax.scan(
@@ -281,7 +284,7 @@ def _jit_decode_sample_layered_k(card, params, token, lc, rng, sampler, k,
 @functools.partial(jax.jit,
                    static_argnames=("card", "sampler", "k", "streaming"),
                    donate_argnames=("lc",))
-def _jit_decode_probs_k(card, params, token, lc, rng, sampler, k,
+def jit_decode_probs_k(card, params, token, lc, rng, sampler, k,
                         streaming=True):
     """K layered decode steps returning BOTH the sampled tokens and the
     dense filtered distribution each was drawn from — what speculative
@@ -294,7 +297,8 @@ def _jit_decode_probs_k(card, params, token, lc, rng, sampler, k,
         logits, lc = decode_step_layered(card, params, tok, lc, streaming)
         q = filtered_probs(logits, sampler.temperature, sampler.top_k,
                            sampler.top_p, sampler.min_p,
-                        getattr(sampler, 'approx_top_k', False))
+                        getattr(sampler, 'approx_top_k', False),
+                        getattr(sampler, 'method', 'topk'))
         rng, sub = jax.random.split(rng)
         tok = jax.random.categorical(
             sub, jnp.log(jnp.maximum(q, 1e-30)), axis=-1).astype(jnp.int32)
@@ -310,14 +314,14 @@ def _split_cache_impl(cache, uniform):
     return split_cache(cache, uniform)
 
 
-_jit_split_cache = jax.jit(_split_cache_impl, static_argnames=("uniform",),
+jit_split_cache = jax.jit(_split_cache_impl, static_argnames=("uniform",),
                            donate_argnums=(0,))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("card", "sampler", "k", "streaming"),
                    donate_argnames=("cache",))
-def _jit_decode_sample_k(card, params, token, cache, rng, sampler, k,
+def jit_decode_sample_k(card, params, token, cache, rng, sampler, k,
                          streaming=True):
     """K decode+sample steps in one executable (lax.scan) — one host
     round-trip per K tokens instead of per token. On tunneled runtimes the
@@ -329,7 +333,8 @@ def _jit_decode_sample_k(card, params, token, cache, rng, sampler, k,
         rng, sub = jax.random.split(rng)
         tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                             sampler.top_p, sampler.min_p,
-                        getattr(sampler, 'approx_top_k', False))
+                        getattr(sampler, 'approx_top_k', False),
+                        getattr(sampler, 'method', 'topk'))
         return (tok, cache, rng), tok
 
     (token, cache, rng), toks = jax.lax.scan(
@@ -368,18 +373,19 @@ def generate(
 
     pos_host = int(cache.pos[0])        # host mirror of the uniform pos
     fresh = bool(pos_host == 0)
-    logits, cache = _jit_prefill(card, params, prompt, cache, fresh=fresh)
+    logits, cache = jit_prefill(card, params, prompt, cache, fresh=fresh)
     pos_host += prompt.shape[1]
     rng, sub = jax.random.split(rng)
     tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                         sampler.top_p, sampler.min_p,
-                        getattr(sampler, 'approx_top_k', False))
+                        getattr(sampler, 'approx_top_k', False),
+                        getattr(sampler, 'method', 'topk'))
     out = [tok]
     done = tok == eos_id
     # per-layer cache leaves for the token loop (serve/layered.py): the
     # one conversion copy here buys in-place slot writes on every step
     from koifish_tpu.serve.layered import join_cache
-    lc = _jit_split_cache(cache, uniform=True)
+    lc = jit_split_cache(cache, uniform=True)
     remaining = max_new_tokens - 1
     while remaining > 0:
         if bool(done.all()):
@@ -390,12 +396,12 @@ def generate(
         # sink re-rope compiled out (no step can need it)
         streaming = pos_host + k > lc.size
         if k > 1:
-            toks, lc, rng = _jit_decode_sample_layered_k(
+            toks, lc, rng = jit_decode_sample_layered_k(
                 card, dparams, tok, lc, rng, sampler, k,
                 streaming=streaming)
             steps = [toks[i] for i in range(k)]
         else:
-            tok, lc, rng = _jit_decode_sample_layered(
+            tok, lc, rng = jit_decode_sample_layered(
                 card, dparams, tok, lc, rng, sampler, streaming=streaming)
             steps = [tok]
         pos_host += k
@@ -405,3 +411,16 @@ def generate(
             out.append(tok)
         remaining -= k
     return jnp.stack(out, axis=1), join_cache(lc)
+
+
+# Backward-compatible aliases (pre-round-5 names). The jit_* names above
+# are the PUBLIC per-executable serving API — the exact functions
+# generate()/BatchEngine dispatch, promoted so harnesses (bench.py) can
+# measure the surface users call without reaching into internals.
+_jit_prefill = jit_prefill
+_jit_decode_sample = jit_decode_sample
+_jit_decode_sample_layered = jit_decode_sample_layered
+_jit_decode_sample_layered_k = jit_decode_sample_layered_k
+_jit_decode_probs_k = jit_decode_probs_k
+_jit_split_cache = jit_split_cache
+_jit_decode_sample_k = jit_decode_sample_k

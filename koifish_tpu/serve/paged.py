@@ -243,7 +243,8 @@ def _jit_decode_paged_k(card, params, token, cache, rng, sampler, k):
         rng, sub = jax.random.split(rng)
         tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                             sampler.top_p, sampler.min_p,
-                            getattr(sampler, "approx_top_k", False))
+                            getattr(sampler, "approx_top_k", False),
+                        getattr(sampler, "method", "topk"))
         return (tok, cache, rng), tok
 
     (token, cache, rng), toks = jax.lax.scan(body, (token, cache, rng),
@@ -276,7 +277,8 @@ def generate_paged(card: ModelCard, params: Params, prompt: jax.Array,
     rng, sub = jax.random.split(rng)
     tok = sample_logits(sub, logits, sampler.temperature, sampler.top_k,
                         sampler.top_p, sampler.min_p,
-                        getattr(sampler, "approx_top_k", False))
+                        getattr(sampler, "approx_top_k", False),
+                        getattr(sampler, "method", "topk"))
     out = [tok]
     done = tok == eos_id
     pos = T

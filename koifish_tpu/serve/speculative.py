@@ -28,9 +28,9 @@ import numpy as np
 
 from koifish_tpu.config import ModelCard, SamplerCard
 from koifish_tpu.ops.sampling import filtered_probs
-from koifish_tpu.serve.engine import (_jit_decode_probs_k,
-                                      _jit_decode_sample_layered,
-                                      _jit_prefill, _jit_split_cache)
+from koifish_tpu.serve.engine import (jit_decode_probs_k,
+                                      jit_decode_sample_layered,
+                                      jit_prefill, jit_split_cache)
 from koifish_tpu.serve.kvcache import KVCache
 
 _jit_filtered_probs = jax.jit(
@@ -69,12 +69,12 @@ def speculative_generate(
             top_p=sampler.top_p, min_p=sampler.min_p))
 
     # prefill both models on the prompt; t0 ~ target distribution
-    logits, cache = _jit_prefill(card, params, prompt, cache, fresh=True)
+    logits, cache = jit_prefill(card, params, prompt, cache, fresh=True)
     p0 = _p_dist(logits)[0]
     t0 = int(host_rng.choice(len(p0), p=p0 / p0.sum()))
-    _, draft_cache = _jit_prefill(draft_card, draft_params, prompt,
+    _, draft_cache = jit_prefill(draft_card, draft_params, prompt,
                                   draft_cache, fresh=True)
-    dlc = _jit_split_cache(draft_cache, uniform=True)
+    dlc = jit_split_cache(draft_cache, uniform=True)
 
     seq: List[int] = [t0]
     prompt_len = prompt.shape[1]
@@ -91,13 +91,13 @@ def speculative_generate(
             # streaming=False: both caches are sized to hold the whole
             # prompt + max_new + k (never wrap), so the sink re-rope can
             # be compiled out of every speculative dispatch
-            _, dlc, rng = _jit_decode_sample_layered(
+            _, dlc, rng = jit_decode_sample_layered(
                 draft_card, draft_params, tok, dlc, rng, sampler,
                 streaming=False)
             c_drf += 1
             pend_d = pend_d[1:]
         tok = jnp.asarray(pend_d[-1:], jnp.int32)
-        toks, qs, dlc, rng = _jit_decode_probs_k(
+        toks, qs, dlc, rng = jit_decode_probs_k(
             draft_card, draft_params, tok, dlc, rng, sampler, k,
             streaming=False)
         drafts = [int(t[0]) for t in toks]          # d1..dk
@@ -106,7 +106,7 @@ def speculative_generate(
 
         # --- target: verify [t_last, d1..dk] in one forward ------------
         feed = jnp.asarray([[seq[-1]] + drafts], jnp.int32)   # [1, k+1]
-        all_logits, cache = _jit_prefill(card, params, feed, cache,
+        all_logits, cache = jit_prefill(card, params, feed, cache,
                                          return_all_logits=True)
         p = _p_dist(all_logits[0])                  # [k+1, V]
         c_tgt += k + 1

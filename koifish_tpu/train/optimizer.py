@@ -109,11 +109,50 @@ def init_opt_state(params, optimizer: str = "adamw",
 
 
 # ---------------------------------------------------------------------------
+# stochastic rounding — f32 math onto bf16 storage without losing
+# sub-half-ulp updates
+# ---------------------------------------------------------------------------
+
+def stochastic_round(x: jax.Array, rng: jax.Array, out_dtype) -> jax.Array:
+    """Round f32 ``x`` to ``out_dtype`` stochastically when that dtype is
+    bf16 (plain cast otherwise).
+
+    The reference's fused AdamW does f32 math and writes bf16 parameter /
+    moment storage with a per-tensor stochastic-rounding seed
+    (``CU_adamw_p``, reference Optimizer.cu:135-393; seeds persisted per
+    tensor, Fish.cpp:455). Deterministic round-to-nearest systematically
+    drops every update smaller than half a ulp of the stored value — at
+    bf16 (8 mantissa bits) that is any relative step below ~2^-9, a known
+    long-run quality loss. SR preserves the update in expectation:
+    E[round(x)] == x exactly.
+
+    Mechanism: add a uniform 16-bit integer to the f32 bit pattern and
+    truncate to the high 16 bits (= bf16). The carry into the kept bits
+    fires with probability equal to the discarded fraction, for any sign
+    or magnitude (IEEE bit patterns are monotone in magnitude)."""
+    if out_dtype != jnp.bfloat16:
+        return x.astype(out_dtype)
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    r = jax.random.bits(rng, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    hi = ((bits + r) >> 16).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(hi, jnp.bfloat16)
+
+
+def _store(x: jax.Array, dtype, rng: Optional[jax.Array], tag: int
+           ) -> jax.Array:
+    """Writeback to storage ``dtype``: stochastic when an SR rng is given
+    (one independent stream per (leaf, tensor-role) via ``tag``)."""
+    if rng is None or dtype == x.dtype:
+        return x.astype(dtype)
+    return stochastic_round(x, jax.random.fold_in(rng, tag), dtype)
+
+
+# ---------------------------------------------------------------------------
 # AdamW
 # ---------------------------------------------------------------------------
 
 def adamw_update(p, g, m, v, *, lr, beta1, beta2, eps, weight_decay, step,
-                 decay_mask=True):
+                 decay_mask=True, sr_rng=None):
     mdt, vdt = m.dtype, v.dtype            # storage dtypes (f32 or bf16)
     pf = p.astype(jnp.float32)
     m = beta1 * m.astype(jnp.float32) + (1 - beta1) * g
@@ -126,9 +165,9 @@ def adamw_update(p, g, m, v, *, lr, beta1, beta2, eps, weight_decay, step,
     upd = jnp.clip(upd, -T_SPIKE, T_SPIKE)
     if decay_mask:
         upd = upd + weight_decay * pf
-    new_p = (pf - lr * upd).astype(p.dtype)
-    return new_p, m.astype(mdt), v.astype(vdt), jnp.sum(spiked,
-                                                        dtype=jnp.int32)
+    new_p = _store(pf - lr * upd, p.dtype, sr_rng, 0)
+    return new_p, _store(m, mdt, sr_rng, 1), _store(v, vdt, sr_rng, 2), \
+        jnp.sum(spiked, dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +196,7 @@ def newton_schulz(G: jax.Array, steps: int = 5) -> jax.Array:
     return X.astype(jnp.float32)
 
 
-def muon_update(p, g, mom, *, lr, momentum, weight_decay):
+def muon_update(p, g, mom, *, lr, momentum, weight_decay, sr_rng=None):
     mdt = mom.dtype
     pf = p.astype(jnp.float32)
     mom = momentum * mom.astype(jnp.float32) + g
@@ -167,20 +206,38 @@ def muon_update(p, g, mom, *, lr, momentum, weight_decay):
     # spike guard (T_spike, Pipe.hpp:42) — same protection as the AdamW pipe
     spiked = jnp.abs(u) > T_SPIKE
     u = jnp.clip(u, -T_SPIKE, T_SPIKE)
-    new_p = (pf - lr * (u + weight_decay * pf)).astype(p.dtype)
-    return new_p, mom.astype(mdt), jnp.sum(spiked, dtype=jnp.int32)
+    new_p = _store(pf - lr * (u + weight_decay * pf), p.dtype, sr_rng, 0)
+    return new_p, _store(mom, mdt, sr_rng, 1), jnp.sum(spiked,
+                                                       dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------
 # combined apply
 # ---------------------------------------------------------------------------
 
+def lars_trust_ratio(p, g, lars_ratio: float) -> jax.Array:
+    """LARS per-tensor trust ratio (GTensor::rLARS, reference
+    GTensor.cpp:24-33; applied as the grad scale in Optimizer.cpp:338-341
+    when config.lars_ratio > 0): min(||w|| / (||g|| + 1e-8), lars_ratio).
+    The reference skips <=1D tensors (biases/norms)."""
+    wnorm = jnp.linalg.norm(p.astype(jnp.float32))
+    gnorm = jnp.linalg.norm(g.astype(jnp.float32))
+    return jnp.minimum(wnorm / (gnorm + 1e-8), lars_ratio)
+
+
 def apply_updates(params, grads, opt: OptState, *, optimizer: str, lr,
                   beta1=0.9, beta2=0.95, eps=1e-8, weight_decay=0.1,
-                  muon_momentum=0.95, grad_clip=1.0,
+                  muon_momentum=0.95, grad_clip=1.0, lars_ratio=0.0,
+                  sr_rng=None,
                   ) -> Tuple[Any, OptState, Dict[str, jax.Array]]:
     """One optimizer step over the whole param pytree (grads already
-    averaged). Returns (params, opt_state, metrics)."""
+    averaged). Returns (params, opt_state, metrics).
+
+    ``sr_rng``: per-step rng → stochastic rounding on every bf16-storage
+    writeback (params AND moments), one independent stream per leaf
+    (fold_in by flat index — the reference persists per-tensor seeds,
+    Fish.cpp:455; deriving them from the step rng keeps resume exact).
+    None → deterministic round-to-nearest."""
     grads, gnorm = clip_by_global_norm(grads, grad_clip)
     step = opt.step + 1
     spikes = jnp.zeros((), jnp.int32)
@@ -194,26 +251,32 @@ def apply_updates(params, grads, opt: OptState, *, optimizer: str, lr,
     v_leaves = treedef.flatten_up_to(opt.v) if opt.v is not None else [None] * len(p_leaves)
 
     new_p, new_m, new_v = [], [], []
-    for path, p, g, m, v in zip(paths, p_leaves, g_leaves, m_leaves,
-                                v_leaves):
+    for i, (path, p, g, m, v) in enumerate(zip(paths, p_leaves, g_leaves,
+                                               m_leaves, v_leaves)):
         if not _is_float(p) or not _real_grad(g):
             # frozen leaf (int codes, masked grads): pass through untouched
             new_p.append(p)
             new_m.append(m)
             new_v.append(v)
             continue
+        leaf_rng = (jax.random.fold_in(sr_rng, i)
+                    if sr_rng is not None else None)
         use_muon = _muon_leaf(p, optimizer, path)
         decay = p.ndim >= 2  # no weight decay on norms/biases
+        if lars_ratio > 0.0 and p.ndim >= 2:
+            g = g * lars_trust_ratio(p, g, lars_ratio)
         if use_muon:
             np_, nm, sp = muon_update(
                 p, g, m, lr=lr, momentum=muon_momentum,
-                weight_decay=weight_decay if decay else 0.0)
+                weight_decay=weight_decay if decay else 0.0,
+                sr_rng=leaf_rng)
             spikes = spikes + sp
             nv = v
         else:
             np_, nm, nv, sp = adamw_update(
                 p, g, m, v, lr=lr, beta1=beta1, beta2=beta2, eps=eps,
-                weight_decay=weight_decay if decay else 0.0, step=step)
+                weight_decay=weight_decay if decay else 0.0, step=step,
+                sr_rng=leaf_rng)
             spikes = spikes + sp
         new_p.append(np_)
         new_m.append(nm)

@@ -110,6 +110,9 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
     int8_pol = (Int8Policy(wgrad=tcard.int8_wgrad, dgrad=tcard.int8_dgrad,
                            min_weight_elems=tcard.int8_min_kn)
                 if tcard.int8_matmul else None)
+    if getattr(tcard, "kernel_choices", False):
+        from koifish_tpu.utils import kernel_log
+        kernel_log.set_verbose(True)
 
     def micro_grads(params, tokens, loss_mask, rng=None):
         # grad only w.r.t. float leaves — integer leaves (packed QTensor
@@ -191,11 +194,17 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
                    total_steps=total_steps, warmup=tcard.warmup,
                    min_ratio=tcard.lr_min_ratio,
                    epoch_steps=tcard.epoch_iters)
+        # stochastic rounding on bf16 storage (params + moments): derive
+        # per-leaf streams from the step rng (0x5C0FF tags the SR use so
+        # it can't collide with the micro-batch fold_in above)
+        sr_on = getattr(tcard, "stochastic_round", "auto") is not False
+        sr_rng = (jax.random.fold_in(step_rng, 0x5C0FF) if sr_on else None)
         params, opt, metrics = apply_updates(
             state.params, grads, state.opt, optimizer=tcard.optimizer, lr=lr,
             beta1=tcard.beta1, beta2=tcard.beta2, eps=tcard.eps,
             weight_decay=tcard.weight_decay, muon_momentum=tcard.muon_momentum,
-            grad_clip=tcard.grad_clip)
+            grad_clip=tcard.grad_clip,
+            lars_ratio=getattr(tcard, "lars_ratio", 0.0), sr_rng=sr_rng)
         metrics = dict(metrics, loss=loss, lr=lr)
         if tcard.check_tensor_norm:
             # per-leaf grad norms (DEBUG.check_tensor_norm / watch_Tensors

@@ -209,3 +209,35 @@ def test_topk_sampling_exact_by_default_and_approx_divergence():
     # approx recall ~0.95 -> small but NONZERO divergence; pin the band so
     # a silent default flip in either direction fails this test
     assert tvd.max() < 0.25, tvd
+
+
+def test_kernel_log_dedup(capsys):
+    """Fallback observability (utils/kernel_log): once per (kernel,
+    reason); positive choices only in verbose mode; CPU suppressed at
+    default level but forced on at level 2."""
+    import os
+    from koifish_tpu.utils import kernel_log
+    kernel_log.reset()
+    kernel_log.set_verbose(False)
+    old = os.environ.get("KOIFISH_DUMP_KERNELS")
+    try:
+        os.environ["KOIFISH_DUMP_KERNELS"] = "2"
+        kernel_log.fallback("k1", "reason-a")
+        kernel_log.fallback("k1", "reason-a")   # deduped
+        kernel_log.fallback("k1", "reason-b")
+        kernel_log.choice("k2", "picked")
+        err = capsys.readouterr().err
+        assert err.count("reason-a") == 1
+        assert err.count("reason-b") == 1
+        assert "k2" in err
+        # default level: CPU backend logs nothing (tests would drown)
+        kernel_log.reset()
+        os.environ["KOIFISH_DUMP_KERNELS"] = "1"
+        kernel_log.fallback("k3", "quiet-on-cpu")
+        assert "k3" not in capsys.readouterr().err
+    finally:
+        if old is None:
+            os.environ.pop("KOIFISH_DUMP_KERNELS", None)
+        else:
+            os.environ["KOIFISH_DUMP_KERNELS"] = old
+        kernel_log.reset()

@@ -205,3 +205,36 @@ def test_moe_decode_matches_forward():
     np.testing.assert_allclose(np.asarray(logits3, np.float32),
                                np.asarray(ref[:, -1], np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_metropolis_sampling_matches_full_softmax():
+    """GOPT_Metropolis (GoPT.cpp:516) live path: CDF sampling over the
+    full softmax of the raw logits — no temperature/top-k/top-p. The
+    empirical distribution over many draws must track softmax(logits),
+    including mass on tokens a top-k sampler would exclude."""
+    import numpy as np
+    from koifish_tpu.ops.sampling import filtered_probs, sample_logits
+    logits = jnp.array([[2.0, 1.0, 0.0, -1.0, -2.0]], jnp.float32)
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
+    keys = jax.random.split(jax.random.PRNGKey(0), 4096)
+    toks = jax.vmap(
+        lambda k: sample_logits(k, logits, 0.0, 2, 0.5,
+                                method="metropolis")[0])(keys)
+    counts = np.bincount(np.asarray(toks), minlength=5) / 4096
+    np.testing.assert_allclose(counts, probs, atol=0.03)
+    # the last token would be cut by top_k=2 — metropolis keeps it
+    assert counts[4] > 0.0
+    # dense distribution (speculative path) agrees
+    q = np.asarray(filtered_probs(logits, 0.0, 2, 0.5,
+                                  method="metropolis"))[0]
+    np.testing.assert_allclose(q, probs, atol=1e-6)
+
+
+def test_sampler_method_config():
+    from koifish_tpu.config import CLIParams, SamplerCard
+    assert SamplerCard().method == "topk"
+    p = CLIParams.from_json(
+        {"model": {"arch": "GPT2"},
+         "chat_sampler": {"method": "Metropolis", "temperature": 0.9}})
+    assert p.sampler.method == "metropolis"
+    assert p.sampler.temperature == 0.9
