@@ -10,6 +10,7 @@ reference: src/Device/CUDA/huTensor.cu:487).
 """
 from __future__ import annotations
 
+import functools as _functools
 from typing import Optional, Sequence
 
 import jax
@@ -117,6 +118,23 @@ def quantize(
         group=group,
     )
     return qt
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_quantize(fmt: QFormat, group: int, symmetric: bool):
+    return jax.jit(_functools.partial(quantize, fmt=fmt, group=group,
+                                      symmetric=symmetric))
+
+
+def quantize_jit(w: jnp.ndarray, fmt: QFormat, group: int = DEFAULT_GROUP,
+                 symmetric: bool = True) -> QTensor:
+    """Shape-cached jitted ``quantize`` — the quantize-at-load entry.
+    Eager dispatch leaves every group reduction as a separate CPU op with
+    f32 temporaries; jitting fuses them (measured at Qwen3-32B embed dims
+    [5120, 151936]: 64 s eager → 7 s cold / 1.5 s warm). Repeated layer
+    shapes hit jax's executable cache, so a 64-layer load compiles each
+    distinct shape once."""
+    return _jit_quantize(fmt, group, symmetric)(w)
 
 
 def quant_error(w: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
