@@ -264,16 +264,21 @@ def bench_bigmodels(emit=True):
         batch = {"tokens": tokens}
         for _ in range(3):
             state, m = step(state, batch)
-        loss = float(m["loss"])
-        assert 0.0 < loss < 100.0
+        l0 = float(m["loss"])
+        assert 0.0 < l0 < 100.0
         t0 = time.perf_counter()
         for _ in range(reps):
             state, m = step(state, batch)
         loss = float(m["loss"])
         dt = (time.perf_counter() - t0) / reps
+        # quality gate on the shipped int8 recipe (VERDICT r4 weak #3):
+        # random-token loss must stay under ln(V)+slack and not climb
+        assert loss == loss and 0.0 < loss < 11.5, f"{name} loss {loss}"
+        assert loss <= l0 + 0.05, f"{name} loss climbed {l0} -> {loss}"
         tps = 16 * 1024 / dt
         result[f"gpt2_{name}_tok_s"] = round(tps, 1)
         result[f"gpt2_{name}_vs_ref"] = round(tps / anchor_tps, 3)
+        result[f"gpt2_{name}_loss"] = round(loss, 3)
         del state, step
     if emit:
         print(json.dumps(result), flush=True)

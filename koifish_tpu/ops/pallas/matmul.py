@@ -64,6 +64,8 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
         and k % 1024 == 0 and n % 128 == 0
         and w.group == 128
     )
+    if w.codebook is not None and w.fmt not in (QFormat.NF4, QFormat.NF3):
+        base_ok = False           # learned books ride NF-coded layouts only
     if not base_ok or m < 1:
         from koifish_tpu.utils import kernel_log
         kernel_log.fallback(
@@ -74,6 +76,35 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
         return _ref_qmatmul(x, w, out_dtype)
     lead = x.shape[:-1]
     x2 = x.reshape(m, k)
+    if w.row_scale is not None:
+        # Sinkhorn row factors fold into the ACTIVATIONS (y = (x·r) @
+        # deq(codes), quant/qtensor.py:94) — after this every fused
+        # kernel below is exact for SinkNormal tensors
+        x2 = (x2.astype(jnp.float32)
+              * w.row_scale.astype(jnp.float32)[None, :]).astype(x2.dtype)
+    if w.codebook is not None:
+        # learned codebooks (k-means Q_Cluster [k] / MINI per-row [K, k])
+        # dequantize IN-KERNEL via a per-row select chain over the book
+        # operand — the global-NF select chain would silently decode the
+        # wrong values (measured 45-89% error before this dispatch)
+        book = w.codebook.astype(jnp.float32)
+        if book.ndim == 1:
+            book = jnp.broadcast_to(book[None], (k, book.shape[0]))
+        if m <= 32:
+            bm = max(8, -(-m // 8) * 8)
+            x2p = jnp.pad(x2, ((0, bm - m), (0, 0))) if bm != m else x2
+            y = _qmv_book(x2p, w.codes, w.scales, book, fmt=w.fmt,
+                          group=w.group, k=k)[:m]
+        elif m >= 64:
+            pad_m = (-m) % 256
+            x2p = jnp.pad(x2, ((0, pad_m), (0, 0))) if pad_m else x2
+            y = _qmm_book(x2p, w.codes, w.scales, book, fmt=w.fmt,
+                          group=w.group, k=k)
+            if pad_m:
+                y = y[:m]
+        else:
+            return _ref_qmatmul(x, w, out_dtype)
+        return y.reshape(*lead, n).astype(out_dtype)
     if m <= 32:
         # GEMV-ish decode path: pad rows to the sublane count. Covers
         # batched decode up to B=32 (the 8<m<64 XLA-dequant dead zone made
@@ -290,6 +321,158 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, fmt, group, bk):
 
     wf = _unpack_block(w_ref[:], fmt, bk, group)
     # group-factored scales (see _qmv_kernel)
+    x = x_ref[:].astype(jnp.bfloat16)
+    s = s_ref[:].astype(jnp.float32)
+    for g in range(bk // group):
+        d = jnp.dot(x[:, g * group:(g + 1) * group],
+                    wf[g * group:(g + 1) * group, :],
+                    preferred_element_type=jnp.float32)
+        acc_ref[:] += d * s[g:g + 1, :]
+
+    @pl.when(t == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# learned-codebook (LUT) kernels — the CU_Q42X_LUT analog
+# (reference quantizer.cu:586-655 fuses its 16-entry LUT dequant into the
+# GEMM; here the book rides a [K, 2^bits] f32 VMEM operand so BOTH the
+# per-tensor k-means book (rows identical) and the per-row MINI books
+# dequantize with the same select chain)
+# ---------------------------------------------------------------------------
+
+def _unpack_block_book(codes, fmt, rows, group, book):
+    """Like _unpack_block, but decode values come from ``book``
+    [rows, 2^bits] f32 instead of the global NF constants: a select
+    chain where entry i broadcasts its per-row column book[:, i:i+1]."""
+    bits = fmt.pack_bits
+    cpb = fmt.codes_per_byte
+    ng, sub = rows // group, group // cpb
+    c32 = codes.astype(jnp.int32).reshape(ng, sub, -1)
+    mask = (1 << bits) - 1
+    parts = [(c32 >> (bits * j)) & mask for j in range(cpb)]
+    raw = jnp.stack(parts, axis=1).reshape(rows, -1)
+    bf = book.astype(jnp.float32)
+    wf = jnp.broadcast_to(bf[:, 0:1], raw.shape)
+    for i in range(1, 1 << fmt.bits):
+        wf = jnp.where(raw == i, bf[:, i:i + 1], wf)
+    return wf.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "group", "k"))
+def _qmv_book(x, codes, scales, book, *, fmt: QFormat, group: int, k: int):
+    """Decode GEMV for learned-codebook tensors: grid (N tiles, K tiles)
+    with an f32 accumulator — K-tiled (unlike _qmv) so the [bk, 2^bits]
+    book block stays small in VMEM."""
+    n = codes.shape[-1]
+    bm = x.shape[0]
+    bn = 256 if n % 256 == 0 else 128
+    bk = min(k, 1024)
+    cpb = fmt.codes_per_byte
+    nb = book.shape[-1]
+    kernel = functools.partial(_qmv_book_kernel, fmt=fmt, group=group,
+                               bk=bk, nt=k // bk)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn, k // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda j, t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // cpb, bn), lambda j, t: (t, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // group, bn), lambda j, t: (t, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, nb), lambda j, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, t: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * n * k,
+            bytes_accessed=bm * k * 2 + k * n // cpb + bm * n * 2
+            + k * nb * 4,
+            transcendentals=0,
+        ),
+    )(x, codes, scales, book)
+
+
+def _qmv_book_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *,
+                     fmt, group, bk, nt):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wf = _unpack_block_book(w_ref[:], fmt, bk, group, b_ref[:])
+    x = x_ref[:].astype(jnp.bfloat16)
+    s = s_ref[:].astype(jnp.float32)
+    for g in range(bk // group):
+        d = jnp.dot(x[:, g * group:(g + 1) * group],
+                    wf[g * group:(g + 1) * group, :],
+                    preferred_element_type=jnp.float32)
+        acc_ref[:] += d * s[g:g + 1, :]
+
+    @pl.when(t == nt - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "group", "k"))
+def _qmm_book(x, codes, scales, book, *, fmt: QFormat, group: int, k: int):
+    m, n = x.shape[0], codes.shape[-1]
+    bm, bk = 256, 1024
+    bn = 256 if n % 256 == 0 else 128
+    grid = (m // bm, n // bn, k // bk)
+    cpb = fmt.codes_per_byte
+    nb = book.shape[-1]
+    kernel = functools.partial(_qmm_book_kernel, fmt=fmt, group=group,
+                               bk=bk)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, t: (i, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // cpb, bn), lambda i, j, t: (t, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // group, bn), lambda i, j, t: (t, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, nb), lambda i, j, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, t: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + k * n // cpb + m * n * 2 + k * nb * 4,
+            transcendentals=0,
+        ),
+    )(x, codes, scales, book)
+
+
+def _qmm_book_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *,
+                     fmt, group, bk):
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wf = _unpack_block_book(w_ref[:], fmt, bk, group, b_ref[:])
     x = x_ref[:].astype(jnp.bfloat16)
     s = s_ref[:].astype(jnp.float32)
     for g in range(bk // group):

@@ -135,7 +135,8 @@ def test_hybrid_backbone_trains_pinned_loss():
                  ].astype(jnp.int32)}
         state, m = step(state, batch)
         loss = float(m["loss"])
-    assert math.isclose(loss, 1.1765, rel_tol=1e-3), loss
+    # re-pinned r5: bf16 stochastic rounding default-on
+    assert math.isclose(loss, 1.1814662218093872, rel_tol=1e-3), loss
 
 
 def test_moe_backbone_without_experts_errors():
@@ -193,7 +194,8 @@ def test_gau_backbone_builds_and_trains_pinned():
                  ].astype(jnp.int32)}
         state, m = step(state, batch)
         loss = float(m["loss"])
-    assert math.isclose(loss, 1.1499, rel_tol=1e-3), loss
+    # re-pinned r5: bf16 stochastic rounding default-on
+    assert math.isclose(loss, 1.15473473072052, rel_tol=1e-3), loss
 
 
 def test_gau_serving_errors_loudly():
@@ -262,7 +264,8 @@ def test_brown_backbone_builds_and_trains_pinned():
                  ].astype(jnp.int32)}
         state, m = step(state, batch)
         loss = float(m["loss"])
-    assert math.isclose(loss, 1.9677, rel_tol=1e-3), loss
+    # re-pinned r5: bf16 stochastic rounding default-on
+    assert math.isclose(loss, 1.97523832321167, rel_tol=1e-3), loss
 
 
 def test_brown_causality():

@@ -70,7 +70,8 @@ def test_koifish_train_cli(tmp_path, tiny_hf):
     # (CheckResult rel_tol=1e-3, cases/test_lite.py:17-34). A wiring
     # regression that merely slows convergence now fails here.
     import math
-    assert math.isclose(last, 0.0426445, rel_tol=2e-3), last
+    # re-pinned r5: bf16 stochastic rounding default-on
+    assert math.isclose(last, 0.0407653, rel_tol=2e-3), last
 
 
 def test_koifish_gpt_every_cli(tmp_path, tiny_hf):

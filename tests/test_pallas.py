@@ -420,3 +420,32 @@ def test_int8_matmul_tile_dgrad_grads_close():
                                    np.asarray(gw_b, np.float32))
     finally:
         qd.set_interpret(False)
+
+
+def test_codebook_and_sinkhorn_fused_dispatch():
+    """Learned-codebook QTensors (k-means per-tensor book, MINI per-row
+    books) and Sinkhorn row factors through the FUSED dispatch — before
+    round 5 they silently decoded with the wrong constants (45-89% error:
+    the global-NF select chain / dropped row factors). The LUT kernels
+    (_qmv_book/_qmm_book, the CU_Q42X_LUT analog, quantizer.cu:586-655)
+    and the activation-side row fold must match the dequant oracle."""
+    from koifish_tpu.quant.cluster import (quantize_kmeans, quantize_mini,
+                                           quantize_sinkhorn)
+    w = jax.random.normal(jax.random.PRNGKey(0), (1024, 128), jnp.float32) \
+        * (1 + 5 * jax.random.uniform(jax.random.PRNGKey(1), (1024, 128)))
+    tensors = [("kmeans", quantize_kmeans(w, bits=4, group=128)),
+               ("mini", quantize_mini(w, bits=4, group=128)),
+               ("mini3", quantize_mini(w, bits=3, group=128)),
+               ("sinkhorn", quantize_sinkhorn(w, QFormat.INT4, group=128))]
+    assert tensors[0][1].codebook.ndim == 1      # per-tensor book
+    assert tensors[1][1].codebook.ndim == 2      # per-row books
+    assert tensors[3][1].row_scale is not None
+    for m in (8, 256):                           # GEMV and GEMM paths
+        x = jax.random.normal(jax.random.PRNGKey(2), (m, 1024),
+                              jnp.bfloat16)
+        for name, qt in tensors:
+            ref = x.astype(jnp.float32) @ qt.dequantize(
+                jnp.float32).reshape(1024, 128)
+            got = pmm.qmatmul_pallas_or_ref(x, qt, jnp.float32)
+            err = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
+            assert err < 2e-2, (name, m, err)

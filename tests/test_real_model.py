@@ -154,3 +154,35 @@ def test_int4_ppl_delta_vs_fp16():
     qparams = quantize_params(params, qc, card)
     _, ppl_q = perplexity(card, qparams, _text_batches(d))
     assert ppl_q - ppl_fp <= 0.1, (ppl_fp, ppl_q)
+
+
+def test_qwen3_32b_streamed_sharded_load():
+    """Weight-day one-command 32B path: stream the real Qwen3-32B folder
+    mmap -> INT4 -> TP shards on the 8-device mesh (the reference's
+    LoadFolderOfST quantize-at-load, Serialize.cpp:1018; README.md:23),
+    then one sharded greedy decode step. The dims-true dress rehearsal
+    (synthetic weights) runs every round in tests/test_stream_load.py;
+    this binds it to the real checkpoint."""
+    d = _require("qwen3", "32b", exclude=("awq",))
+    import jax
+    import jax.numpy as jnp
+    from koifish_tpu.config import QuantCard
+    from koifish_tpu.io.stream_load import load_hf_sharded_quantized
+    from koifish_tpu.parallel import make_mesh
+    from koifish_tpu.quant.qtensor import QTensor
+    from koifish_tpu.serve import cache_for, generate
+
+    mesh = make_mesh({"tp": 8})
+    qcard = QuantCard.from_json({"self_attn": {"bits": 4},
+                                 "mlp": {"bits": 4},
+                                 "embed_tokens": {"bits": 8},
+                                 "group_size": 128})
+    card, params = load_hf_sharded_quantized(d, mesh, qcard)
+    n_q = sum(isinstance(w, QTensor) for lp in params["layers"]
+              for w in lp.values())
+    assert n_q == 7 * card.n_layer
+    prompt = jnp.ones((1, 8), jnp.int32) * 100
+    from koifish_tpu.config import SamplerCard
+    toks, _ = generate(card, params, prompt, cache_for(card, 1, 64),
+                       SamplerCard(temperature=0.0), max_new_tokens=4)
+    assert toks.shape[1] == 4 and bool((toks >= 0).all())

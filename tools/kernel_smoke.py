@@ -71,6 +71,22 @@ def main() -> int:
                 return _rel(out, ref)
             guarded(f"qmatmul {fmt.name} m={m}", _run)
 
+    # --- learned-codebook (LUT) kernels: kmeans/MINI/sinkhorn ------------
+    from koifish_tpu.quant.cluster import (quantize_kmeans, quantize_mini,
+                                           quantize_sinkhorn)
+    for label, qt in (("kmeans", quantize_kmeans(w, bits=4, group=128)),
+                      ("mini", quantize_mini(w, bits=4, group=128)),
+                      ("sinkhorn", quantize_sinkhorn(w, QFormat.INT4,
+                                                     group=128))):
+        for m in ms:
+            def _run_b(m=m, qt=qt):
+                x = jax.random.normal(jax.random.PRNGKey(m), (m, 1024),
+                                      jnp.bfloat16)
+                ref = pmm._ref_qmatmul(x, qt, jnp.float32)
+                out = pmm.qmatmul_pallas_or_ref(x, qt, jnp.float32)
+                return _rel(out, ref)
+            guarded(f"qmatmul_{label} m={m}", _run_b)
+
     # --- experimental int8-MXU GEMV: parity + timed vs the bf16-dot GEMV --
     qt8 = quantize(w, QFormat.INT8, group=128)
     for m in ms:

@@ -56,7 +56,7 @@ tokens = jax.random.randint(jax.random.PRNGKey(0), (1, {batch}, 1025), 0,
 batch = {{"tokens": tokens}}
 for _ in range(3):
     state, m = step(state, batch)
-float(m["loss"])
+l0 = float(m["loss"])
 best = float("inf")
 for _ in range(2):
     t0 = time.perf_counter()
@@ -64,11 +64,17 @@ for _ in range(2):
         state, m = step(state, batch)
     loss = float(m["loss"])
     best = min(best, (time.perf_counter() - t0) / {steps})
+# quality gate, not a print (VERDICT r4 weak #3): random-token loss must
+# stay finite, below ln(V)+slack, and not climb from the warmup value —
+# a quantization-noise regression in the int8 recipe trips this
+assert loss == loss and 0.0 < loss < 11.5, f"loss diverged: {{loss}}"
+assert loss <= l0 + 0.05, f"loss climbed {{l0}} -> {{loss}}"
 tps = {batch} * 1024 / best
 mfu = step_mfu(card, {batch} * 1024, best)
 print("RESULT " + __import__("json").dumps(dict(
     tok_s=round(tps, 1), step_s=round(best, 3),
-    mfu=round(mfu, 4) if mfu else None, loss=round(loss, 3))))
+    mfu=round(mfu, 4) if mfu else None, loss=round(loss, 3),
+    loss0=round(l0, 3))))
 """
     t0 = time.time()
     try:
