@@ -61,12 +61,21 @@ def _bm_for(m: int) -> Optional[int]:
     return next((c for c in (BM, 256, 128) if m % c == 0), None)
 
 
+def _bv_for(e: int) -> int:
+    """Vocab-tile width: shrink for wide E so the dw sweep's [E, BV] f32
+    accumulator + the [E, BV] weight tile stay inside VMEM (at E=5120,
+    BV=1024 would need a 20 MB accumulator + 10 MB weight tile; BV=512
+    halves both — the Qwen3-32B head is E=5120, V=151936)."""
+    return BV if e <= 4096 else 512
+
+
 def eligible(m: int, e: int, v: int) -> bool:
     """Kernel path available for [m, e] hidden against an [e, v] head.
     E only needs sublane alignment — Mosaic lane-pads non-128-multiple
-    E (GPT2-1558M's 1600 verified exact on chip)."""
+    E (GPT2-1558M's 1600 verified exact on chip; E>4096 runs narrower
+    vocab tiles, _bv_for)."""
     return (_platform_is_tpu() and _bm_for(m) is not None
-            and e % 8 == 0 and e <= 4096 and v >= 2 * BV)
+            and e % 8 == 0 and e <= 8192 and v >= 2 * BV)
 
 
 # ---------------------------------------------------------------------------
@@ -87,18 +96,18 @@ def _tile_logits(x_ref, w_ref, scales):
     return acc.astype(jnp.float32) * sx_ref[...] * sw_ref[...]
 
 
-def _io_specs(bm, e, v, int8):
+def _io_specs(bm, e, v, int8, bv=BV):
     """(in_specs, arg slots) shared by all three kernels: x, w
     [, sx, sw], tgt."""
     col_i = pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM)
     specs = [
         pl.BlockSpec((bm, e), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((e, BV), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((e, bv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     ]
     if int8:
         specs += [col_i,
-                  pl.BlockSpec((1, BV), lambda i, j: (0, j),
+                  pl.BlockSpec((1, bv), lambda i, j: (0, j),
                                memory_space=pltpu.VMEM)]
     specs += [col_i]
     return specs, col_i
@@ -109,12 +118,13 @@ def _fwd_call(x, w, tgt_col, sx=None, sw=None, *, int8=False):
     m, e = x.shape
     v = w.shape[1]
     bm = _bm_for(m)
-    nj = -(-v // BV)
+    bv = _bv_for(e)
+    nj = -(-v // bv)
     grid = (m // bm, nj)
-    specs, col_i = _io_specs(bm, e, v, int8)
+    specs, col_i = _io_specs(bm, e, v, int8, bv)
     args = (x, w) + ((sx, sw) if int8 else ()) + (tgt_col,)
     lse, gold = pl.pallas_call(
-        functools.partial(_fwd_kernel, V=v, BV=BV, NJ=nj, INT8=int8),
+        functools.partial(_fwd_kernel, V=v, BV=bv, NJ=nj, INT8=int8),
         grid=grid,
         in_specs=specs,
         out_specs=(col_i, col_i),
@@ -200,11 +210,12 @@ def _dx_call(x, w, tgt_col, lse, wtok, sx=None, sw=None, *, int8=False):
     m, e = x.shape
     v = w.shape[1]
     bm = _bm_for(m)
-    nj = -(-v // BV)
-    specs, col = _io_specs(bm, e, v, int8)
+    bv = _bv_for(e)
+    nj = -(-v // bv)
+    specs, col = _io_specs(bm, e, v, int8, bv)
     args = (x, w) + ((sx, sw) if int8 else ()) + (tgt_col, lse, wtok)
     dx = pl.pallas_call(
-        functools.partial(_dx_kernel, V=v, BV=BV, NJ=nj, INT8=int8),
+        functools.partial(_dx_kernel, V=v, BV=bv, NJ=nj, INT8=int8),
         grid=(m // bm, nj),
         in_specs=specs + [col, col],
         out_specs=pl.BlockSpec((bm, e), lambda i, j: (i, 0),
@@ -269,12 +280,13 @@ def _dw_call(x, w, tgt_col, lse, wtok, xq=None, sx=None, sw=None, *,
     m, e = x.shape
     v = w.shape[1]
     bm = _bm_for(m)
+    bv = _bv_for(e)
     ni = m // bm
     col = pl.BlockSpec((bm, 1), lambda j, i: (i, 0),
                        memory_space=pltpu.VMEM)
     xspec = pl.BlockSpec((bm, e), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((e, BV), lambda j, i: (0, j),
+    wspec = pl.BlockSpec((e, bv), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM)
     specs = [xspec, wspec]
     args = (x, w)
@@ -282,19 +294,19 @@ def _dw_call(x, w, tgt_col, lse, wtok, xq=None, sx=None, sw=None, *,
         # xq feeds the int8 logits recompute; the TRUE bf16 x feeds the
         # wgrad dot (int8 wgrad measured harmful — int8_train docstring)
         specs += [xspec, col,
-                  pl.BlockSpec((1, BV), lambda j, i: (0, j),
+                  pl.BlockSpec((1, bv), lambda j, i: (0, j),
                                memory_space=pltpu.VMEM)]
         args += (xq, sx, sw)
     specs += [col, col, col]
     args += (tgt_col, lse, wtok)
     dw = pl.pallas_call(
-        functools.partial(_dw_kernel, V=v, BV=BV, NI=ni, INT8=int8),
-        grid=(-(-v // BV), ni),
+        functools.partial(_dw_kernel, V=v, BV=bv, NI=ni, INT8=int8),
+        grid=(-(-v // bv), ni),
         in_specs=specs,
-        out_specs=pl.BlockSpec((e, BV), lambda j, i: (0, j),
+        out_specs=pl.BlockSpec((e, bv), lambda j, i: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((e, w.shape[1]), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((e, BV), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((e, bv), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -417,7 +429,7 @@ def fused_ce_pallas_or_none(
         kernel_log.fallback(
             "fused_ce",
             f"m={B * T} E={E} V={V}: need m%128==0, sublane-aligned "
-            f"E<=4096, V>=2048 -> XLA chunk-scan CE")
+            f"E<=8192, V>=2048 -> XLA chunk-scan CE")
         return None
     kernel_log.choice("fused_ce", f"m={B * T} E={E} V={V}")
     if int8 is None:

@@ -449,3 +449,41 @@ def test_codebook_and_sinkhorn_fused_dispatch():
             got = pmm.qmatmul_pallas_or_ref(x, qt, jnp.float32)
             err = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
             assert err < 2e-2, (name, m, err)
+
+
+def test_fused_ce_wide_e_matches_scan():
+    """E>4096 (the Qwen3-32B head is E=5120) runs the fused classifier
+    on narrower vocab tiles (_bv_for: BV 1024 -> 512 keeps the dw
+    sweep's [E, BV] f32 accumulator + weight tile inside VMEM). Fwd +
+    both grads vs the XLA chunk scan, with a vocab tail."""
+    from koifish_tpu.ops.cross_entropy import fused_ce_loss
+    from koifish_tpu.ops.pallas import fused_ce as fce
+
+    assert fce._bv_for(4096) == 1024 and fce._bv_for(5120) == 512
+    assert fce.eligible(128, 5120, 151936) is False or True  # CPU gate
+    fce.set_interpret(True)
+    try:
+        assert fce.eligible(128, 5120, 4000)
+        B, T, E, V = 1, 128, 5120, 4000   # tail: 4000 % 512 != 0
+        key = jax.random.PRNGKey(0)
+        h = (jax.random.normal(key, (B, T, E)) * 0.3).astype(jnp.bfloat16)
+        w = (jax.random.normal(jax.random.PRNGKey(1), (E, V)) * 0.01
+             ).astype(jnp.bfloat16)
+        tgt = jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, V)
+        ref_l, ref_t = fused_ce_loss(h, w, tgt, use_pallas=False)
+        out = fce.fused_ce_pallas_or_none(h, w, tgt)
+        assert out is not None
+        got_l, got_t = out
+        np.testing.assert_allclose(float(ref_l), float(got_l), rtol=1e-4)
+        gr = jax.grad(lambda a, b: fused_ce_loss(a, b, tgt,
+                                                 use_pallas=False)[0],
+                      argnums=(0, 1))(h, w)
+        gp = jax.grad(lambda a, b: fce.fused_ce_pallas_or_none(
+            a, b, tgt)[0], argnums=(0, 1))(h, w)
+        for a, b in zip(gr, gp):
+            a = a.astype(jnp.float32)
+            b = b.astype(jnp.float32)
+            rel = float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(a) + 1e-9))
+            assert rel < 5e-3, rel
+    finally:
+        fce.set_interpret(False)

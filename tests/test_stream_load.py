@@ -179,9 +179,10 @@ print("flash path at 32B dims:", path)
 # fused GEMV/GEMM gates: every 32B weight K is 1024-aligned, N 128-aligned
 for kk, nn in ((E, card.n_head * 128), (E, F), (F, E), (E, V)):
     assert kk % 1024 == 0 and nn % 128 == 0, (kk, nn)
-# fused CE at E=5120: documented OUT of the kernel gate (E<=4096 VMEM
-# bound) — serving never runs it; training 32B takes the XLA chunk scan
-print("fused_ce eligible at E=5120:", fused_ce.eligible(4096, E, V))
+# fused CE at E=5120: narrower vocab tiles (_bv_for 1024->512) keep the
+# dw accumulator in VMEM — 32B training gets the fused classifier too
+assert fused_ce.eligible(4096, E, V), "fused_ce ineligible at 32B dims"
+assert fused_ce._bv_for(E) == 512
 print("STREAM-32B OK")
 """
 

@@ -344,6 +344,32 @@ def main() -> int:
         return max(_rel(dxp, gx), _rel(dwp, gw))
     guarded("fused_ce dx/dw", _fce_bwd, tol=0.02)
 
+    # --- fused classifier at WIDE E (32B head dims: E=5120, BV->512) ------
+    Mw, Ew, Vw = 128, 5120, 4000
+    wx = (jax.random.normal(jax.random.PRNGKey(21), (Mw, Ew)) * 0.3
+          ).astype(jnp.bfloat16)
+    ww = (jax.random.normal(jax.random.PRNGKey(22), (Ew, Vw)) * 0.01
+          ).astype(jnp.bfloat16)
+    wtg = jax.random.randint(jax.random.PRNGKey(23), (Mw,), 0, Vw)
+    wtcol = wtg[:, None].astype(jnp.int32)
+
+    def _fce_wide():
+        logits = jnp.dot(wx, ww, preferred_element_type=jnp.float32)
+        lr = jax.scipy.special.logsumexp(logits, axis=-1)
+        lp, gp = _fce._fwd_call(wx, ww, wtcol)
+        wt = jnp.full((Mw, 1), 1.0 / Mw, jnp.float32)
+        dxp = _fce._dx_call(wx, ww, wtcol, lp, wt)
+        dwp = _fce._dw_call(wx, ww, wtcol, lp, wt)
+
+        def loss(a, b):
+            lg = jnp.dot(a, b, preferred_element_type=jnp.float32)
+            lse = jax.scipy.special.logsumexp(lg, axis=-1)
+            gold = jnp.take_along_axis(lg, wtg[:, None], axis=1)[:, 0]
+            return jnp.mean(lse - gold)
+        gx, gw = jax.grad(loss, argnums=(0, 1))(wx, ww)
+        return max(_rel(lp[:, 0], lr), _rel(dxp, gx), _rel(dwp, gw))
+    guarded("fused_ce wide-E (5120)", _fce_wide, tol=0.02)
+
     # --- per-tile int8 dgrad ----------------------------------------------
     from koifish_tpu.ops.pallas.qdgrad import dgrad_int8_tile_or_none
     dyq = (jax.random.normal(jax.random.PRNGKey(14), (512, 2048)) * 0.1
