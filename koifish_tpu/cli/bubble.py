@@ -86,6 +86,7 @@ def main(argv=None) -> int:
 
     print(f"[bubble] loading {hf_dir} ...")
     t0 = time.time()
+    mesh, streamed = None, False
     if hf_dir.endswith((".kun", ".ckp")):
         # reference single-file model (config embedded as msgpack tensor)
         from koifish_tpu.io.hf_loader import load_kun_model
@@ -99,7 +100,28 @@ def main(argv=None) -> int:
         else:
             tokenizer = BPETokenizer.from_file(tkdir)
     else:
-        card, params = load_hf_model(hf_dir)
+        if args.tp > 1 and args.bits:
+            # big-model path (Qwen3-32B on a TP mesh): stream each tensor
+            # mmap -> quantize -> shard — the full bf16 model never
+            # materializes (io/stream_load; reference LoadFolderOfST
+            # quantize-at-load, Serialize.cpp:1018)
+            try:
+                from koifish_tpu.io.stream_load import \
+                    load_hf_sharded_quantized
+                from koifish_tpu.parallel.mesh import make_mesh
+                mesh = make_mesh({"tp": args.tp})
+                qc = QuantCard.from_json({
+                    "self_attn": {"bits": args.bits},
+                    "mlp": {"bits": args.bits}})
+                card, params = load_hf_sharded_quantized(hf_dir, mesh, qc)
+                streamed = True
+                print(f"[bubble] streamed sharded quantize-at-load "
+                      f"({args.bits}-bit, tp={args.tp})")
+            except NotImplementedError:   # GPT2/MoE: classic path below
+                mesh = None
+                card, params = load_hf_model(hf_dir)
+        else:
+            card, params = load_hf_model(hf_dir)
         tokenizer = BPETokenizer.from_file(hf_dir)
     print(f"[bubble] {card.arch} {card.n_layer}L loaded in {time.time()-t0:.1f}s "
           f"on {jax.default_backend()}")
@@ -110,7 +132,7 @@ def main(argv=None) -> int:
         print(f"[bubble] draft {draft_card.arch} {draft_card.n_layer}L "
               f"(k={args.draft_k}, greedy/lossless)")
 
-    if args.bits:
+    if args.bits and not streamed:
         qc = QuantCard.from_json({
             "self_attn": {"bits": args.bits}, "mlp": {"bits": args.bits}})
         t0 = time.time()
@@ -127,8 +149,7 @@ def main(argv=None) -> int:
     from koifish_tpu.serve import cache_for
     from koifish_tpu.serve.stacked import stack_layers
 
-    mesh = None
-    if args.tp > 1:
+    if args.tp > 1 and not streamed:
         from koifish_tpu.parallel.mesh import make_mesh
         from koifish_tpu.parallel import shard_params
         mesh = make_mesh({"tp": args.tp})

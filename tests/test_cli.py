@@ -515,3 +515,30 @@ def test_koifish_guppy_and_llama_vae_cli(tmp_path):
             rows = list(csv.DictReader(f))
         first, last = float(rows[0]["loss"]), float(rows[-1]["loss"])
         assert last < first * 0.6, (arch, first, last)
+
+
+def test_bubble_tp_streamed_quantized_cli(tmp_path, tiny_hf):
+    """bubble --tp 2 --bits 4: the big-model path — streamed sharded
+    quantize-at-load (io/stream_load) instead of load-then-quantize.
+    Greedy answer must match the plain single-device chat."""
+    hf_dir, card = tiny_hf
+    import subprocess
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    base = run_cli("bubble", "--hf", hf_dir, "--prompts", "hello",
+                   "--max-new", "6", "--temperature", "0", "--ctx", "128",
+                   "--device", "cpu", "--csv", str(tmp_path / "a.csv"))
+    assert base.returncode == 0, base.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, "-m", "koifish_tpu.cli.bubble", "--hf", hf_dir,
+         "--prompts", "hello", "--max-new", "6", "--temperature", "0",
+         "--ctx", "128", "--device", "cpu", "--tp", "2", "--bits", "4",
+         "--csv", str(tmp_path / "b.csv")],
+        capture_output=True, text=True, timeout=240, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "streamed sharded quantize-at-load" in r.stdout, r.stdout[-1000:]
+    a = list(csv.DictReader(open(tmp_path / "a.csv")))[0]["answer"]
+    b = list(csv.DictReader(open(tmp_path / "b.csv")))[0]["answer"]
+    # tiny dims (E=64 < group 128) keep weights bf16 on both paths, so
+    # greedy decode must agree EXACTLY
+    assert a == b, (a, b)
