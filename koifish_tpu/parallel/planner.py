@@ -70,6 +70,38 @@ def plan_serving(card, batch: int, ctx: int, weight_bits: int = 4,
                       (wb + kvb) // n + act)
 
 
+def plan_decode(card, batch: int, ctx: int, weight_bits: int = 4,
+                kv_bits: int = 8, n_chips: int = 1,
+                hbm_bytes: int = V5E_HBM) -> Dict[str, int]:
+    """Per-component decode HBM accounting for ONE batch size — the
+    B-scaling story behind the measured sweep walls (round-4 negatives:
+    Qwen3-0.6B B=128 INT8-KV OOMs a 16 GB chip, B=64 fits).
+
+    The dominant term past small B is the KV cache, and the engine's
+    one-time ``split_cache`` boundary (serve/layered.py:63 — [L, ...] →
+    per-layer leaves) holds BOTH copies alive for one step, so the
+    admission test must clear ``2 x kv_bytes`` even though steady-state
+    decode only holds one (donated in-place writes thereafter). At
+    B=128/S=1024 that transient is 2 x 7.7 GB — the observed OOM; B=64
+    clears at 2 x 3.9 + 0.5 weights. Keys: weights / kv / kv_transient /
+    logits / act / total / fits (all bytes, per chip — weights and KV
+    divide over ``n_chips`` of a tp mesh)."""
+    P = param_count(card)
+    wb = int(P * weight_bits / 8 * 1.06) // n_chips
+    hd = card.head_dim or card.n_embd // card.n_head
+    kv_elem = 2 * card.n_layer * batch * card.n_kv_head * ctx
+    kvb = kv_elem * hd * kv_bits // 8
+    if kv_bits in (4, 8):
+        kvb += kv_elem * 4                    # f32 per-(h, pos) scales
+    kvb //= n_chips
+    logits = batch * card.vocab_size * 4      # f32 sampling columns
+    act = batch * card.n_embd * 2 * 16        # [B, 1, E] working set
+    total = wb + 2 * kvb + logits + act + _XLA_RESERVE
+    return {"weights": wb, "kv": kvb, "kv_transient": kvb,
+            "logits": logits, "act": act, "total": total,
+            "fits": total <= hbm_bytes}
+
+
 def plan_training(card, batch: int, ctx: int, remat="dots",
                   hbm_bytes: int = V5E_HBM, max_chips: int = 256,
                   optimizer: str = "adamw") -> MemoryPlan:
