@@ -72,10 +72,10 @@ def bench_decode(args, emit=True):
     from koifish_tpu.dtypes import QFormat
     from koifish_tpu.models import init_params
     from koifish_tpu.quant.apply import quantize_params
-    from koifish_tpu.serve import init_cache
+    from koifish_tpu.serve import init_layered_cache
     from koifish_tpu.serve.engine import (jit_decode_sample_layered,
                                           jit_decode_sample_layered_k,
-                                          jit_prefill, jit_split_cache)
+                                          jit_prefill)
     from koifish_tpu.serve.stacked import stack_layers
     from koifish_tpu.ops.sampling import sample_logits
 
@@ -87,8 +87,11 @@ def bench_decode(args, emit=True):
     dparams = stack_layers(params) or params   # layer-scan decode
     B, S, P = args.batch, 1024, 128
     sampler = SamplerCard(temperature=0.6)
-    cache = init_cache(card.n_layer, B, S, card.n_kv_head, card.head_dim,
-                       fmt=QFormat.INT8)
+    # cache born per-layer (r5): no [L,...] stacked form or split copy
+    # anywhere on the measured path — the exact production shape
+    # (cache_for(layered=True) / generate)
+    cache = init_layered_cache(card.n_layer, B, S, card.n_kv_head,
+                               card.head_dim, fmt=QFormat.INT8)
     prompt = jax.random.randint(jax.random.PRNGKey(1), (B, P), 0,
                                 card.vocab_size, dtype=jnp.int32)
     rng = jax.random.PRNGKey(0)
@@ -101,8 +104,8 @@ def bench_decode(args, emit=True):
     tok = sample_logits(rng, logits, sampler.temperature, sampler.top_k,
                         sampler.top_p)
     int(tok[0])
-    cache = init_cache(card.n_layer, B, S, card.n_kv_head, card.head_dim,
-                       fmt=QFormat.INT8)
+    cache = init_layered_cache(card.n_layer, B, S, card.n_kv_head,
+                               card.head_dim, fmt=QFormat.INT8)
     t0 = time.perf_counter()
     logits, cache = jit_prefill(card, params, prompt, cache, fresh=True)
     tok = sample_logits(rng, logits, sampler.temperature, sampler.top_k,
@@ -115,7 +118,7 @@ def bench_decode(args, emit=True):
     # decode_chunk): K decode+sample steps per executable — on this
     # tunneled runtime a per-token dispatch measures the ~30 ms host RTT,
     # not the chip (121 vs 269 agg tok/s in the serving bench).
-    lc = jit_split_cache(cache, uniform=True)
+    lc = cache                  # already layered — nothing to split
     K = 16
     # pre-wrap dispatch (pos + K <= S): sink re-rope compiled out — the
     # same host-side rule engine.generate applies per chunk

@@ -94,10 +94,13 @@ class ContinuousBatcher:
         self.kv_fmt = kv_fmt
         self.sampler = sampler or SamplerCard()
         self.rng = rng if rng is not None else jax.random.PRNGKey(self.sampler.seed)
-        # per-layer leaves + per-lane slots (uniform=False masked writes)
-        self.pool = split_cache(
-            init_cache(card.n_layer, n_slots, cache_size, card.n_kv_head,
-                       card.head_dim, fmt=kv_fmt), uniform=False)
+        # per-layer leaves + per-lane slots (uniform=False masked writes);
+        # born layered — the [L, ...] stacked pool never exists
+        # (init transient capped at one layer, layered.init_layered_cache)
+        from koifish_tpu.serve.layered import init_layered_cache
+        self.pool = init_layered_cache(
+            card.n_layer, n_slots, cache_size, card.n_kv_head,
+            card.head_dim, fmt=kv_fmt, uniform=False)
         self.slots: List[Optional[Request]] = [None] * n_slots
         self.waiting: List[Request] = []
         self.cur_tok = jnp.zeros((n_slots,), jnp.int32)

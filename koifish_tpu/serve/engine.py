@@ -201,8 +201,12 @@ def decode_step(card: ModelCard, params: Params, token: jax.Array,
     return logits, kvc.advance(cache, 1)
 
 
+# cache is DONATED: the caller's handle is dead after prefill, and at
+# big batches an undonated prefill holds two full caches (input + output)
+# — the other half of the B-scaling wall (planner.plan_decode)
 jit_prefill = jax.jit(prefill,
-                       static_argnames=("card", "return_all_logits", "fresh"))
+                      static_argnames=("card", "return_all_logits", "fresh"),
+                      donate_argnames=("cache",))
 
 
 def prefill_chunked(card: ModelCard, params: Params, tokens: jax.Array,
@@ -371,6 +375,8 @@ def generate(
             decode_params = params
     dparams = decode_params if decode_params is not None else params
 
+    from koifish_tpu.serve.layered import LayeredKVCache, join_cache
+    was_layered = isinstance(cache, LayeredKVCache)
     pos_host = int(cache.pos[0])        # host mirror of the uniform pos
     fresh = bool(pos_host == 0)
     logits, cache = jit_prefill(card, params, prompt, cache, fresh=fresh)
@@ -382,10 +388,15 @@ def generate(
                         getattr(sampler, 'method', 'topk'))
     out = [tok]
     done = tok == eos_id
-    # per-layer cache leaves for the token loop (serve/layered.py): the
-    # one conversion copy here buys in-place slot writes on every step
-    from koifish_tpu.serve.layered import join_cache
-    lc = jit_split_cache(cache, uniform=True)
+    if was_layered:
+        # cache was born per-layer (cache_for(layered=True)): prefill
+        # filled it directly and the token loop uses it as-is — the 2x
+        # stacked<->layered conversion transient never exists
+        lc = cache
+    else:
+        # per-layer cache leaves for the token loop (serve/layered.py):
+        # the one conversion copy buys in-place slot writes per step
+        lc = jit_split_cache(cache, uniform=True)
     remaining = max_new_tokens - 1
     while remaining > 0:
         if bool(done.all()):
@@ -410,7 +421,8 @@ def generate(
             done = done | (tok == eos_id)
             out.append(tok)
         remaining -= k
-    return jnp.stack(out, axis=1), join_cache(lc)
+    # give back the representation the caller handed in
+    return jnp.stack(out, axis=1), (lc if was_layered else join_cache(lc))
 
 
 # Backward-compatible aliases (pre-round-5 names). The jit_* names above

@@ -91,11 +91,20 @@ def init_cache(n_layers: int, batch: int, size: int, n_kv_head: int,
 
 
 def cache_for(card, batch: int, size: int, fmt: QFormat = QFormat.BF16,
-              sinks: int = 2) -> KVCache:
-    """Cache sized from a ModelCard (handles MLA's K/V dim split)."""
+              sinks: int = 2, layered: bool = False):
+    """Cache sized from a ModelCard (handles MLA's K/V dim split).
+    ``layered=True`` builds the per-layer form directly (LayeredKVCache,
+    serve/layered) — no [L, ...] stacked intermediate, which caps the
+    allocation transient at one layer instead of 2x the whole cache
+    (the B=128 decode OOM driver, parallel/planner.plan_decode)."""
+    vd = card.v_head_dim if card.attn == "mla" else 0
+    if layered:
+        from koifish_tpu.serve.layered import init_layered_cache
+        return init_layered_cache(card.n_layer, batch, size,
+                                  card.n_kv_head, card.head_dim, fmt=fmt,
+                                  sinks=sinks, v_head_dim=vd)
     return init_cache(card.n_layer, batch, size, card.n_kv_head,
-                      card.head_dim, fmt=fmt, sinks=sinks,
-                      v_head_dim=card.v_head_dim if card.attn == "mla" else 0)
+                      card.head_dim, fmt=fmt, sinks=sinks, v_head_dim=vd)
 
 
 def ring_slot(pos: jax.Array, size: int, sinks: int) -> jax.Array:
@@ -264,12 +273,17 @@ def write_token(cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
     return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)
 
 
-def write_prefill(cache: KVCache, layer: int, k_new: jax.Array,
-                  v_new: jax.Array, start: jax.Array) -> KVCache:
+def write_prefill(cache, layer: int, k_new: jax.Array,
+                  v_new: jax.Array, start: jax.Array):
     """Write a [B, T, H, D] prefill chunk starting at absolute position
     ``start`` (same for all sequences; T must be <= size - this is the
     batched-prefill improvement over the reference's token-by-token loop,
-    GoPT.cpp:1139). Does NOT advance ``pos``."""
+    GoPT.cpp:1139). Does NOT advance ``pos``.
+
+    Accepts the stacked ``KVCache`` ([L, ...] leaves) OR the per-layer
+    ``LayeredKVCache`` (serve/layered) — on the layered form each
+    layer's buffer is an independent leaf that XLA updates in place, so
+    prefill never needs the stacked representation at all."""
     B, T = k_new.shape[:2]
 
     def upd(buf, val):
@@ -277,14 +291,16 @@ def write_prefill(cache: KVCache, layer: int, k_new: jax.Array,
         # no-wrap precondition makes the slot range start..start+T-1
         # contiguous, so this is one dynamic_update_slice (a [T]-slot
         # fancy-index scatter serializes per row on TPU).
-        val = jnp.moveaxis(val, 1, 2).astype(buf.dtype)
+        val = jnp.moveaxis(val, 1, 2).astype(buf[layer].dtype)
         at = (0, 0, start) + (0,) * (val.ndim - 3)
-        return buf.at[layer].set(
-            jax.lax.dynamic_update_slice(buf[layer], val, at))
+        new_l = jax.lax.dynamic_update_slice(buf[layer], val, at)
+        if isinstance(buf, tuple):       # LayeredKVCache leaf tuple
+            return buf[:layer] + (new_l,) + buf[layer + 1:]
+        return buf.at[layer].set(new_l)
 
     if cache.fmt is QFormat.BF16:
-        k = upd(cache.k, k_new.astype(cache.k.dtype))
-        v = upd(cache.v, v_new.astype(cache.v.dtype))
+        k = upd(cache.k, k_new)          # upd casts to the leaf dtype
+        v = upd(cache.v, v_new)
         ks, vs = cache.k_scale, cache.v_scale
     elif cache.fmt is QFormat.QJL:
         from koifish_tpu.ops.qjl import qjl_encode_keys, qjl_projection

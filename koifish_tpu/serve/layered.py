@@ -60,6 +60,37 @@ class LayeredKVCache:
         return len(self.k)
 
 
+def init_layered_cache(n_layers: int, batch: int, size: int,
+                       n_kv_head: int, head_dim: int,
+                       fmt: QFormat = QFormat.BF16, sinks: int = 2,
+                       v_head_dim: int = 0, uniform: bool = True,
+                       ) -> LayeredKVCache:
+    """Build the per-layer cache DIRECTLY — no [L, ...] stacked
+    intermediate ever exists. This is the B-scaling fix the round-4
+    sweep wall pointed at (parallel/planner.plan_decode): going through
+    ``init_cache`` + ``split_cache`` holds BOTH the stacked and the
+    per-layer copies alive for one step (2x KV — the measured B=128
+    OOM at Qwen3-0.6B/S=1024 on 16 GB); building layered caps the
+    transient at one layer. ``kvcache.write_prefill`` / ``read_layer``
+    / ``advance`` all accept this type, so prefill fills it in place
+    and ``generate`` never splits."""
+    ks, vs, kss, vss = [], [], [], []
+    for _ in range(n_layers):
+        c1 = kvc.init_cache(1, batch, size, n_kv_head, head_dim, fmt,
+                            sinks, v_head_dim)
+        ks.append(c1.k[0])
+        vs.append(c1.v[0])
+        if c1.k_scale is not None:
+            kss.append(c1.k_scale[0])
+            vss.append(c1.v_scale[0])
+    return LayeredKVCache(
+        k=tuple(ks), v=tuple(vs),
+        k_scale=tuple(kss) if kss else None,
+        v_scale=tuple(vss) if vss else None,
+        pos=jnp.zeros((batch,), jnp.int32), fmt=fmt, sinks=sinks,
+        uniform=uniform)
+
+
 def split_cache(cache: KVCache, uniform: bool = True) -> LayeredKVCache:
     """[L, ...] cache -> per-layer tuples (one copy, at the prefill/decode
     boundary only — never inside the token loop)."""

@@ -1,6 +1,7 @@
 """Decode-path correctness: incremental decode == full forward; ring-buffer
 slot mapping; quantized KV; sampling sanity."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -238,3 +239,34 @@ def test_sampler_method_config():
          "chat_sampler": {"method": "Metropolis", "temperature": 0.9}})
     assert p.sampler.method == "metropolis"
     assert p.sampler.temperature == 0.9
+
+
+@pytest.mark.parametrize("fmt", [QFormat.BF16, QFormat.INT8, QFormat.INT4])
+def test_layered_born_cache_generate_parity(fmt):
+    """cache_for(layered=True): the cache is BORN per-layer — prefill
+    fills it directly (kvcache.write_prefill tuple path) and generate
+    never converts. Greedy tokens must match the stacked-cache path
+    EXACTLY for every KV format; the returned cache keeps the layered
+    type and the positions agree."""
+    from koifish_tpu.serve import cache_for, generate
+    from koifish_tpu.serve.layered import LayeredKVCache, join_cache
+
+    card = tiny_card()
+    params = init_params(card, jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0,
+                                card.vocab_size, dtype=jnp.int32)
+    sampler = SamplerCard(temperature=0.0)
+
+    c_st = cache_for(card, 2, 32, fmt=fmt)
+    t_st, c_st = generate(card, params, prompt, c_st, sampler,
+                          max_new_tokens=10)
+    c_ly = cache_for(card, 2, 32, fmt=fmt, layered=True)
+    assert isinstance(c_ly, LayeredKVCache)
+    t_ly, c_ly = generate(card, params, prompt, c_ly, sampler,
+                          max_new_tokens=10)
+    assert t_st.tolist() == t_ly.tolist()
+    assert isinstance(c_ly, LayeredKVCache)
+    joined = join_cache(c_ly)
+    assert joined.pos.tolist() == c_st.pos.tolist()
+    np.testing.assert_array_equal(
+        np.asarray(joined.k, np.float32), np.asarray(c_st.k, np.float32))

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Round-5 chip queue #2: decode B-scaling with layered-born caches
+# (the split-transient OOM fix) + a full bench rehearsal.
+set -u
+cd /root/repo
+log() { echo "=== [$(date +%H:%M:%S)] $*" ; }
+
+log "5. decode B sweep with layered-born caches (B=64 rerun, B=128 retry)"
+for b in 64 128; do
+  log "  decode B=$b"
+  timeout 2400 python -u bench.py --mode decode --batch $b --steps 64 2>&1 | tail -3
+done
+
+log "6. full bench rehearsal (BENCH_r05 preview)"
+timeout 3600 python -u bench.py 2>&1 | tail -6
+
+log "queue2 done"
