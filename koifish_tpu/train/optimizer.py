@@ -129,12 +129,27 @@ def stochastic_round(x: jax.Array, rng: jax.Array, out_dtype) -> jax.Array:
     Mechanism: add a uniform 16-bit integer to the f32 bit pattern and
     truncate to the high 16 bits (= bf16). The carry into the kept bits
     fires with probability equal to the discarded fraction, for any sign
-    or magnitude (IEEE bit patterns are monotone in magnitude)."""
+    or magnitude (IEEE bit patterns are monotone in magnitude).
+
+    The random bits come from a murmur3-finalizer hash of (element
+    index ^ per-leaf seed) — ~6 VPU integer ops/element — NOT from
+    threefry (`jax.random.bits` measured ~7% of a GPT2-774M step when
+    SR defaulted on: three param-sized threefry sweeps per step). The
+    reference's CU_adamw_p likewise uses a cheap seeded per-element
+    generator, not a crypto PRNG (Optimizer.cu:135-393). SR only needs
+    uniform low-16 bits; the finalizer is a full avalanche permutation
+    (statistical mean-preservation pinned in test_optimizer)."""
     if out_dtype != jnp.bfloat16:
         return x.astype(out_dtype)
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    r = jax.random.bits(rng, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
-    hi = ((bits + r) >> 16).astype(jnp.uint16)
+    seed = jax.random.bits(rng, (), jnp.uint32)      # one scalar threefry
+    n = x.size
+    idx = jax.lax.iota(jnp.uint32, n).reshape(x.shape)
+    h = idx ^ seed
+    h = (h ^ (h >> 16)) * jnp.uint32(0x85EBCA6B)
+    h = (h ^ (h >> 13)) * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    hi = ((bits + (h & jnp.uint32(0xFFFF))) >> 16).astype(jnp.uint16)
     return jax.lax.bitcast_convert_type(hi, jnp.bfloat16)
 
 

@@ -136,7 +136,7 @@ def test_hybrid_backbone_trains_pinned_loss():
         state, m = step(state, batch)
         loss = float(m["loss"])
     # re-pinned r5: bf16 stochastic rounding default-on
-    assert math.isclose(loss, 1.1814662218093872, rel_tol=1e-3), loss
+    assert math.isclose(loss, 1.1840893030166626, rel_tol=1e-3), loss
 
 
 def test_moe_backbone_without_experts_errors():
@@ -265,7 +265,7 @@ def test_brown_backbone_builds_and_trains_pinned():
         state, m = step(state, batch)
         loss = float(m["loss"])
     # re-pinned r5: bf16 stochastic rounding default-on
-    assert math.isclose(loss, 1.97523832321167, rel_tol=1e-3), loss
+    assert math.isclose(loss, 1.9772953987121582, rel_tol=1e-3), loss
 
 
 def test_brown_causality():

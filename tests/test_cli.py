@@ -71,7 +71,7 @@ def test_koifish_train_cli(tmp_path, tiny_hf):
     # regression that merely slows convergence now fails here.
     import math
     # re-pinned r5: bf16 stochastic rounding default-on
-    assert math.isclose(last, 0.0407653, rel_tol=2e-3), last
+    assert math.isclose(last, 0.0404555, rel_tol=2e-3), last
 
 
 def test_koifish_gpt_every_cli(tmp_path, tiny_hf):

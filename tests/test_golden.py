@@ -50,9 +50,10 @@ def test_qwen3_golden_losses():
     state, losses = _run(card, 30)
     _check(losses[0], 4.8678202629089355)
     # re-pinned r5: stochastic rounding on bf16 params default-on
-    # (train/optimizer.py::stochastic_round — CU_adamw_p seeded-SR parity)
-    _check(losses[9], 1.8544248342514038)
-    _check(losses[29], 0.044903699308633804)
+    # (train/optimizer.py::stochastic_round — CU_adamw_p seeded-SR parity;
+    # second re-pin when SR bits moved from threefry to the murmur hash)
+    _check(losses[9], 1.847961187362671)
+    _check(losses[29], 0.044563766568899155)
 
     # generation golden: trained + INT4-quantized model continues the
     # pattern EXACTLY (the analog of the reference's chat answer
@@ -76,7 +77,7 @@ def test_gpt2_golden_losses():
         head_dim=16, n_ffn=256, n_ctx=32, max_pos=64)
     _, losses = _run(card, 12)
     _check(losses[0], 4.865329265594482)
-    _check(losses[11], 1.550063133239746)   # re-pinned r5: SR default-on
+    _check(losses[11], 1.5521903038024902)  # re-pinned r5: SR default-on
 
 
 def test_muon_golden_losses():
@@ -99,7 +100,7 @@ def test_muon_golden_losses():
     _check(losses[0], 4.867818355560303)
     # re-pinned after r2 muon fix: embeddings/head moved to AdamW
     # (orthogonalizing the embedding basis was costing 2.4x at step 12)
-    _check(losses[11], 1.3531107902526855)  # re-pinned r5: SR default-on
+    _check(losses[11], 1.348608136177063)   # re-pinned r5: SR default-on
 
 
 def test_salmon_golden_losses():
@@ -120,7 +121,7 @@ def test_fused_ce_golden_losses():
         n_kv_head=2, head_dim=16, n_ffn=128, n_ctx=32, max_pos=64)
     _, losses = _run(card, 8)
     _check(losses[0], 11.105453491210938)
-    _check(losses[7], 8.008091926574707)
+    _check(losses[7], 7.9970879554748535)   # re-pinned r5: SR hash bits
 
 
 def test_cosine_epoch_schedule_restarts():
