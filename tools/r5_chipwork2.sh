@@ -5,6 +5,20 @@ set -u
 cd /root/repo
 log() { echo "=== [$(date +%H:%M:%S)] $*" ; }
 
+log "4b. SR cost check: murmur-hash SR (default) vs SR off at 774M"
+timeout 2400 python -u prof_step.py --model 774m --batch 16 --int8 --fce \
+  --mdt bf16 2>&1 | grep -E "wall" | head -2
+KOIFISH_SR=off timeout 2400 python -c "
+import sys
+sys.argv = ['prof_step.py', '--model', '774m', '--batch', '16', '--int8',
+            '--fce', '--mdt', 'bf16']
+import jax
+# patch: run with stochastic_round=False via TrainCard default override
+import koifish_tpu.config as cfg
+cfg.TrainCard.stochastic_round = False
+exec(open('prof_step.py').read())
+" 2>&1 | grep -E "wall" | head -2
+
 log "5. decode B sweep with layered-born caches (B=64 rerun, B=128 retry)"
 for b in 64 128; do
   log "  decode B=$b"
