@@ -253,3 +253,42 @@ def _write_32b_dir(path, card, seed=0):
             "intermediate_size": card.n_ffn, "rope_theta": 1e6,
             "rms_norm_eps": 1e-6, "tie_word_embeddings": True,
             "max_position_embeddings": card.max_pos}, f)
+
+
+def test_stream_load_multifile_index(tmp_path, monkeypatch):
+    """HF multi-file checkpoints (model.safetensors.index.json) stream
+    identically to the single-file layout — the real Qwen3-32B ships as
+    ~17 shards."""
+    import os
+    from koifish_tpu.io import stream_load
+    from koifish_tpu.io.safetensors import read_safetensors, write_safetensors
+    from koifish_tpu.io.stream_load import load_hf_sharded_quantized
+
+    monkeypatch.setattr(stream_load, "CHUNK_BYTES", 1)
+    card = tiny_card()
+    make_hf_qwen3_dir(tmp_path, card)
+    single, _ = read_safetensors(str(tmp_path / "model.safetensors"))
+    names = sorted(single)
+    half = len(names) // 2
+    parts = {"model-00001-of-00002.safetensors": names[:half],
+             "model-00002-of-00002.safetensors": names[half:]}
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    weight_map = {}
+    for fname, keys in parts.items():
+        write_safetensors(str(multi / fname), {k: single[k] for k in keys})
+        weight_map.update({k: fname for k in keys})
+    with open(multi / "model.safetensors.index.json", "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+    for aux in ("config.json",):
+        (multi / aux).write_bytes((tmp_path / aux).read_bytes())
+
+    qcard = QuantCard.from_json(QC)
+    mesh = make_mesh({"tp": 4})
+    _, a = load_hf_sharded_quantized(str(tmp_path), mesh, qcard)
+    _, b = load_hf_sharded_quantized(str(multi), mesh, qcard)
+    for (pa, la), (pb, lb) in zip(jax.tree_util.tree_leaves_with_path(a),
+                                  jax.tree_util.tree_leaves_with_path(b)):
+        np.testing.assert_array_equal(
+            np.asarray(la, np.float32), np.asarray(lb, np.float32),
+            err_msg=jax.tree_util.keystr(pa))

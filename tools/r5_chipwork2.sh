@@ -29,3 +29,10 @@ log "6. full bench rehearsal (BENCH_r05 preview)"
 timeout 3600 python -u bench.py 2>&1 | tail -6
 
 log "queue2 done"
+
+log "7. retry of the compile-killed runs (qdgrad pair + remat=dots)"
+timeout 2400 python -u prof_step.py --model 774m --batch 16 --int8 --fce \
+  --mdt bf16 --dgrad tile 2>&1 | tail -25
+timeout 2400 python -u prof_step.py --model 774m --batch 16 --int8 --fce \
+  --mdt bf16 --remat dots 2>&1 | tail -4
+log "queue2 really done"
