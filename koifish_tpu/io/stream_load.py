@@ -143,6 +143,21 @@ def load_hf_sharded_quantized(
                    if parts[0].zeros is not None else None),
             fmt=parts[0].fmt, shape=(n_in, rows), group=parts[0].group)
 
+    def put_qtensor(name: str, q: QTensor) -> QTensor:
+        specs = _qtensor_specs(name, q, tp, None)
+        return QTensor(
+            codes=put(q.codes, specs.codes),
+            scales=put(q.scales, specs.scales),
+            zeros=(put(q.zeros, specs.zeros)
+                   if q.zeros is not None else None),
+            fmt=q.fmt, shape=q.shape, group=q.group,
+            # learned codebooks / Sinkhorn row factors replicate (tiny;
+            # every shard's dispatch reads them)
+            codebook=(put(q.codebook, P(*(None,) * q.codebook.ndim))
+                      if q.codebook is not None else None),
+            row_scale=(put(q.row_scale, P(None))
+                       if q.row_scale is not None else None))
+
     def leaf(name: str, hf_name: str, li: Optional[int],
              transpose: bool = False, head_layout: bool = False):
         """One tensor through the whole pipeline. Frees host copies
@@ -152,14 +167,7 @@ def load_hf_sharded_quantized(
         if (rule is not None and a.ndim == 2 and (transpose or head_layout)
                 and a.shape[1] % rule.group == 0
                 and rule.method in _STREAMABLE):
-            q = _stream_quant(a, rule)
-            specs = _qtensor_specs(name, q, tp, None)
-            return QTensor(
-                codes=put(q.codes, specs.codes),
-                scales=put(q.scales, specs.scales),
-                zeros=(put(q.zeros, specs.zeros)
-                       if q.zeros is not None else None),
-                fmt=q.fmt, shape=q.shape, group=q.group)
+            return put_qtensor(name, _stream_quant(a, rule))
         w = jnp.asarray(np.ascontiguousarray(a.T if transpose else a))
         w = w.astype(dtype) if w.dtype != dtype else w
         if rule is not None and getattr(w, "ndim", 0) == 2:
@@ -167,13 +175,7 @@ def load_hf_sharded_quantized(
             mat = w.T if head_layout else w
             q = _quantize_one(mat, rule)
             if isinstance(q, QTensor):
-                specs = _qtensor_specs(name, q, tp, None)
-                return QTensor(
-                    codes=put(q.codes, specs.codes),
-                    scales=put(q.scales, specs.scales),
-                    zeros=(put(q.zeros, specs.zeros)
-                           if q.zeros is not None else None),
-                    fmt=q.fmt, shape=q.shape, group=q.group)
+                return put_qtensor(name, q)
         if w.ndim == 2:
             spec = (P(None, None) if name in ("wpe", "router")
                     else _spec_for_matrix(name, tp, None))

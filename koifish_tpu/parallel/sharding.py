@@ -92,7 +92,15 @@ def shard_params(params, mesh: Mesh, tp: str = "tp",
                 codes=put(w.codes, spec.codes),
                 scales=put(w.scales, spec.scales),
                 zeros=put(w.zeros, spec.zeros) if w.zeros is not None else None,
-                fmt=w.fmt, shape=w.shape, group=w.group)
+                fmt=w.fmt, shape=w.shape, group=w.group,
+                # learned codebooks / Sinkhorn row factors ride along
+                # REPLICATED (tiny; activations-side fold reads them on
+                # every shard) — dropping them silently re-decoded
+                # cluster tensors with the global NF constants
+                codebook=(put(w.codebook, P(*(None,) * w.codebook.ndim))
+                          if w.codebook is not None else None),
+                row_scale=(put(w.row_scale, P(None))
+                           if w.row_scale is not None else None))
         spec = _fit_spec(w.shape, spec, mesh)
         return jax.device_put(w, NamedSharding(mesh, spec))
 

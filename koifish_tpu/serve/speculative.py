@@ -35,7 +35,8 @@ from koifish_tpu.serve.kvcache import KVCache
 
 _jit_filtered_probs = jax.jit(
     filtered_probs,
-    static_argnames=("temperature", "top_k", "top_p", "min_p", "approx"))
+    static_argnames=("temperature", "top_k", "top_p", "min_p", "approx",
+                     "method"))
 
 
 def _rollback(cache, pos: int):
@@ -64,9 +65,13 @@ def speculative_generate(
     host_rng = np.random.default_rng(seed)
 
     def _p_dist(logits2d):                  # [N, V] -> filtered probs
+        # method must match what the draft side samples with (engine
+        # jit_decode_probs_k passes it too) — mixing distributions breaks
+        # the Leviathan exact-target guarantee
         return np.asarray(_jit_filtered_probs(
             logits2d, temperature=sampler.temperature, top_k=sampler.top_k,
-            top_p=sampler.top_p, min_p=sampler.min_p))
+            top_p=sampler.top_p, min_p=sampler.min_p,
+            method=getattr(sampler, "method", "topk")))
 
     # prefill both models on the prompt; t0 ~ target distribution
     logits, cache = jit_prefill(card, params, prompt, cache, fresh=True)

@@ -197,7 +197,11 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
         # stochastic rounding on bf16 storage (params + moments): derive
         # per-leaf streams from the step rng (0x5C0FF tags the SR use so
         # it can't collide with the micro-batch fold_in above)
-        sr_on = getattr(tcard, "stochastic_round", "auto") is not False
+        sr_cfg = getattr(tcard, "stochastic_round", "auto")
+        if isinstance(sr_cfg, str):
+            sr_on = sr_cfg.lower() in ("auto", "on", "true", "1")
+        else:
+            sr_on = bool(sr_cfg)   # False/0 off; True on
         sr_rng = (jax.random.fold_in(step_rng, 0x5C0FF) if sr_on else None)
         params, opt, metrics = apply_updates(
             state.params, grads, state.opt, optimizer=tcard.optimizer, lr=lr,

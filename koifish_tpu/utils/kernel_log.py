@@ -33,14 +33,17 @@ _verbose: Optional[bool] = None   # None = read env lazily
 
 
 def _mode() -> int:
-    """0 = silent, 1 = fallbacks on TPU, 2 = everything everywhere."""
-    if _verbose:
-        return 2
+    """0 = silent, 1 = fallbacks on TPU, 2 = everything everywhere.
+    KOIFISH_DUMP_KERNELS=0 is an ABSOLUTE kill switch — it wins over
+    TrainCard.kernel_choices (the documented contract)."""
     env = os.environ.get("KOIFISH_DUMP_KERNELS", "1")
     try:
-        return int(env)
+        lvl = int(env)
     except ValueError:
-        return 1
+        lvl = 1
+    if lvl == 0:
+        return 0
+    return 2 if _verbose else lvl
 
 
 def set_verbose(on: bool) -> None:

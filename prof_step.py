@@ -2,6 +2,7 @@
 
 Usage: python prof_step.py [--model 124m|774m|1558m] [--batch N] [--int8]
        [--remat off|dots|full] [--opt adamw|muon] [--mdt f32|bf16]
+       [--sr auto|off] [--dgrad off|fold|tile] [--fce] [--wgrad]
 """
 import glob, gzip, json, collections, sys, time
 import jax, jax.numpy as jnp
@@ -29,6 +30,7 @@ B = int(_arg("--batch", {"124m": 16, "774m": 8, "1558m": 8}[model]))
 int8 = "--int8" in sys.argv
 remat = {"off": False, "dots": "dots", "full": True}[_arg("--remat", "off")]
 tcard = TrainCard(batch=B, lr=6e-4, warmup=10,
+                  stochastic_round=(_arg("--sr", "auto") != "off"),
                   optimizer=_arg("--opt", "adamw"),
                   moment_dtype=_arg("--mdt", "f32"), remat=remat,
                   int8_matmul=int8, int8_min_kn=4 << 20,

@@ -184,3 +184,25 @@ def test_sr_train_step_deterministic_and_on_by_default():
     a, b, off = run("auto"), run("auto"), run(False)
     assert a == b
     assert a != off          # bf16 params: SR visibly changes rounding
+
+
+def test_sr_off_string_disables():
+    """TrainCard(stochastic_round='off'/0/False) must all disable SR in
+    the jitted step (the gate previously treated any non-False value —
+    including the string 'off' — as enabled)."""
+    def run(sr):
+        card = _tiny_card()
+        tc = TrainCard(batch=8, lr=1e-3, warmup=5, optimizer="adamw",
+                       stochastic_round=sr, remat=False)
+        step = make_train_step(card, tc, total_steps=100)
+        state = init_train_state(card, tc)
+        toks = jax.random.randint(jax.random.PRNGKey(0), (1, 8, 33), 0,
+                                  128, dtype=jnp.int32)
+        out = []
+        for _ in range(6):
+            state, m = step(state, {"tokens": toks})
+            out.append(float(m["loss"]))
+        return out
+    off_b, off_s, off_0 = run(False), run("off"), run(0)
+    assert off_b == off_s == off_0
+    assert run("auto") != off_b

@@ -460,7 +460,6 @@ def test_fused_ce_wide_e_matches_scan():
     from koifish_tpu.ops.pallas import fused_ce as fce
 
     assert fce._bv_for(4096) == 1024 and fce._bv_for(5120) == 512
-    assert fce.eligible(128, 5120, 151936) is False or True  # CPU gate
     fce.set_interpret(True)
     try:
         assert fce.eligible(128, 5120, 4000)

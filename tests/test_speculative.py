@@ -120,3 +120,18 @@ def test_filtered_probs_matches_sampler():
                                             approx=False))(keys)
     emp = np.bincount(np.asarray(toks)[:, 0], minlength=64) / n
     assert 0.5 * np.abs(emp - q).sum() < 0.04    # total variation
+
+
+def test_speculative_metropolis_target_dist():
+    """The target distribution speculative decoding accepts against must
+    honor sampler.method — with metropolis the draft samples the full
+    softmax, and a top-k-filtered target would break the exact-target
+    guarantee (round-5 review finding)."""
+    from koifish_tpu.serve.speculative import _jit_filtered_probs
+    logits = jnp.array([[3.0, 1.0, 0.0, -1.0]], jnp.float32)
+    p = np.asarray(_jit_filtered_probs(
+        logits, temperature=0.6, top_k=2, top_p=0.9, min_p=0.0,
+        method="metropolis"))[0]
+    np.testing.assert_allclose(
+        p, np.asarray(jax.nn.softmax(logits, axis=-1))[0], atol=1e-6)
+    assert p[3] > 0.0   # top_k=2 would have zeroed it
