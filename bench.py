@@ -359,6 +359,11 @@ def _orchestrate(args) -> None:
 
     decode = _run_section("decode", ["--steps", "64", "--batch", "32"],
                           deadline)
+    # the large-batch point (single attempt): B=128 decode OOM'd before
+    # round 5's layered-born caches removed the 2x-KV admission
+    # transient — 5661 vs 4936 (B=64) vs 4334 (B=32) agg tok/s measured
+    decode128 = _run_section("decode", ["--steps", "64", "--batch", "128"],
+                             deadline, delays=(0.0,))
 
     final = dict(train) if "value" in train else {
         "metric": f"{args.model} pretrain throughput (1 chip)",
@@ -372,6 +377,9 @@ def _orchestrate(args) -> None:
         final["decode_metric"] = decode.get("metric")
         final["decode_step_ms"] = decode.get("step_ms")
         final["ttft_warm_s"] = decode.get("ttft_warm_s")
+    if "error" not in decode128:
+        final["decode_b128_tok_s"] = decode128.get("value")
+        final["decode_b128_step_ms"] = decode128.get("step_ms")
     # second partial line: headline + decode are now safe on record
     print(json.dumps(final), flush=True)
 
