@@ -106,6 +106,7 @@ def bench_decode(args, emit=True):
     int(tok[0])
     cache = init_layered_cache(card.n_layer, B, S, card.n_kv_head,
                                card.head_dim, fmt=QFormat.INT8)
+    jax.block_until_ready(cache.k)   # allocation must not leak into TTFT
     t0 = time.perf_counter()
     logits, cache = jit_prefill(card, params, prompt, cache, fresh=True)
     tok = sample_logits(rng, logits, sampler.temperature, sampler.top_k,

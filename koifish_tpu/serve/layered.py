@@ -60,6 +60,39 @@ class LayeredKVCache:
         return len(self.k)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_layered_init(n_layers: int, batch: int, size: int,
+                      n_kv_head: int, head_dim: int, fmt: QFormat,
+                      sinks: int, v_head_dim: int, uniform: bool):
+    """One jitted no-arg executable per cache config: all the per-layer
+    zeros land in a single dispatch. The eager loop version issued
+    ~4 x L separate allocation ops — on a tunneled runtime their device
+    execution serialized ahead of the first prefill and showed up as
+    ~0.5 s of fake TTFT (bench round-5 measurement)."""
+
+    def build() -> LayeredKVCache:
+        ks, vs, kss, vss = [], [], [], []
+        for _ in range(n_layers):
+            c1 = kvc.init_cache(1, batch, size, n_kv_head, head_dim, fmt,
+                                sinks, v_head_dim)
+            ks.append(c1.k[0])
+            vs.append(c1.v[0])
+            if c1.k_scale is not None:
+                kss.append(c1.k_scale[0])
+                vss.append(c1.v_scale[0])
+        return LayeredKVCache(
+            k=tuple(ks), v=tuple(vs),
+            k_scale=tuple(kss) if kss else None,
+            v_scale=tuple(vss) if vss else None,
+            pos=jnp.zeros((batch,), jnp.int32), fmt=fmt, sinks=sinks,
+            uniform=uniform)
+
+    return jax.jit(build)
+
+
 def init_layered_cache(n_layers: int, batch: int, size: int,
                        n_kv_head: int, head_dim: int,
                        fmt: QFormat = QFormat.BF16, sinks: int = 2,
@@ -74,21 +107,8 @@ def init_layered_cache(n_layers: int, batch: int, size: int,
     transient at one layer. ``kvcache.write_prefill`` / ``read_layer``
     / ``advance`` all accept this type, so prefill fills it in place
     and ``generate`` never splits."""
-    ks, vs, kss, vss = [], [], [], []
-    for _ in range(n_layers):
-        c1 = kvc.init_cache(1, batch, size, n_kv_head, head_dim, fmt,
-                            sinks, v_head_dim)
-        ks.append(c1.k[0])
-        vs.append(c1.v[0])
-        if c1.k_scale is not None:
-            kss.append(c1.k_scale[0])
-            vss.append(c1.v_scale[0])
-    return LayeredKVCache(
-        k=tuple(ks), v=tuple(vs),
-        k_scale=tuple(kss) if kss else None,
-        v_scale=tuple(vss) if vss else None,
-        pos=jnp.zeros((batch,), jnp.int32), fmt=fmt, sinks=sinks,
-        uniform=uniform)
+    return _jit_layered_init(n_layers, batch, size, n_kv_head, head_dim,
+                             fmt, sinks, v_head_dim, uniform)()
 
 
 def split_cache(cache: KVCache, uniform: bool = True) -> LayeredKVCache:
