@@ -20,6 +20,11 @@ from koifish_tpu.quant.qtensor import NF3_VALUES, NF4_VALUES, QTensor
 NF4_LIST = list(NF4_VALUES)
 NF3_LIST = list(NF3_VALUES)
 
+# INT8 decode-GEMV flavor: "mxu" (int8 dot on the MXU) or "dot" (unpack
+# to bf16 + bf16 dot). Read once at import — it selects a traced branch.
+import os as _os
+_INT8_GEMV = _os.environ.get("KOIFISH_INT8_GEMV", "mxu")
+
 
 def _ref_qmatmul(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
     wd = w.dequantize(x.dtype)
@@ -113,11 +118,14 @@ def qmatmul_pallas_or_ref(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:
         pad_m = bm - m
         if pad_m:
             x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
-        if w.fmt is QFormat.INT8:
+        if w.fmt is QFormat.INT8 and _INT8_GEMV == "mxu":
             # int8-MXU GEMV: measured 611 vs 692 us/call against the
             # bf16-dot GEMV on chip (kernel_smoke jitted-scan timing,
             # m=32 K=1024 N=512) — the 2x MXU int8 rate beats the
-            # in-kernel activation-quant cost at decode widths
+            # in-kernel activation-quant cost at decode widths.
+            # KOIFISH_INT8_GEMV=dot flips to the bf16-dot GEMV: a later
+            # runtime re-measured the micro the other way (545 vs 698),
+            # so the default is re-checked in-step each round.
             y = qmv_int8_mxu(x2, w.codes, w.scales, group=w.group, k=k)
         else:
             y = _qmv(x2, w.codes, w.scales, fmt=w.fmt, group=w.group, k=k)
