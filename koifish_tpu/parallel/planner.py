@@ -72,20 +72,27 @@ def plan_serving(card, batch: int, ctx: int, weight_bits: int = 4,
 
 def plan_decode(card, batch: int, ctx: int, weight_bits: int = 4,
                 kv_bits: int = 8, n_chips: int = 1,
-                hbm_bytes: int = V5E_HBM) -> Dict[str, int]:
+                hbm_bytes: int = V5E_HBM,
+                layered: bool = True) -> Dict[str, int]:
     """Per-component decode HBM accounting for ONE batch size — the
     B-scaling story behind the measured sweep walls (round-4 negatives:
-    Qwen3-0.6B B=128 INT8-KV OOMs a 16 GB chip, B=64 fits).
+    Qwen3-0.6B B=128 INT8-KV OOMed a 16 GB chip, B=64 fit).
 
-    The dominant term past small B is the KV cache, and the engine's
-    one-time ``split_cache`` boundary (serve/layered.py:63 — [L, ...] →
-    per-layer leaves) holds BOTH copies alive for one step, so the
-    admission test must clear ``2 x kv_bytes`` even though steady-state
-    decode only holds one (donated in-place writes thereafter). At
-    B=128/S=1024 that transient is 2 x 7.7 GB — the observed OOM; B=64
-    clears at 2 x 3.9 + 0.5 weights. Keys: weights / kv / kv_transient /
-    logits / act / total / fits (all bytes, per chip — weights and KV
-    divide over ``n_chips`` of a tp mesh)."""
+    ``layered=True`` (the production path since round 5): caches are
+    born per-layer (``cache_for(layered=True)`` / ``init_layered_cache``)
+    and prefill donates its cache, so steady state holds ONE copy of the
+    KV and the per-step allocation transient is one layer (negligible).
+    B=128/S=1024 INT8-KV then fits and was measured at 5661 agg tok/s.
+
+    ``layered=False`` models the legacy stacked→``split_cache`` boundary
+    (serve/layered.py — [L, ...] → per-layer leaves) which held BOTH
+    copies alive for one step: the admission test must clear
+    ``2 x kv_bytes``. At B=128/S=1024 that transient is 2 x 7.7 GB — the
+    observed round-4 OOM; B=64 cleared at 2 x 3.9 + 0.5 weights.
+
+    Keys: weights / kv / kv_transient / logits / act / total / fits
+    (all bytes, per chip — weights and KV divide over ``n_chips`` of a
+    tp mesh)."""
     P = param_count(card)
     wb = int(P * weight_bits / 8 * 1.06) // n_chips
     hd = card.head_dim or card.n_embd // card.n_head
@@ -96,8 +103,9 @@ def plan_decode(card, batch: int, ctx: int, weight_bits: int = 4,
     kvb //= n_chips
     logits = batch * card.vocab_size * 4      # f32 sampling columns
     act = batch * card.n_embd * 2 * 16        # [B, 1, E] working set
-    total = wb + 2 * kvb + logits + act + _XLA_RESERVE
-    return {"weights": wb, "kv": kvb, "kv_transient": kvb,
+    transient = kvb // card.n_layer if layered else kvb
+    total = wb + kvb + transient + logits + act + _XLA_RESERVE
+    return {"weights": wb, "kv": kvb, "kv_transient": transient,
             "logits": logits, "act": act, "total": total,
             "fits": total <= hbm_bytes}
 

@@ -94,25 +94,26 @@ def test_debug_switches_parse_and_run():
 
 
 def test_plan_decode_explains_b_scaling_walls():
-    """The decode memory model must reproduce the measured round-4 sweep
-    walls (tools/sweep_decode_r4.py on a 16 GB v5e): Qwen3-0.6B INT4
-    weights + INT8 KV at S=1024 — B=64 runs, B=128 OOMs. The OOM driver
-    is the split_cache admission transient (2x KV for one step), not
-    steady-state KV."""
+    """The decode memory model must reproduce BOTH measured regimes on a
+    16 GB v5e (Qwen3-0.6B INT4 weights + INT8 KV, S=1024):
+    - legacy stacked→split_cache path (round 4): B=64 ran, B=128 OOMed —
+      the 2x-KV admission transient;
+    - layered-born caches (round 5, the production/default path): the
+      transient is one layer, B=128 runs (measured 5661 agg tok/s)."""
     from koifish_tpu.config import ModelCard
     from koifish_tpu.parallel.planner import plan_decode
 
     card = ModelCard.from_arch(
         "QWEN3", vocab_size=151936, n_layer=28, n_embd=1024, n_head=16,
         n_kv_head=8, head_dim=128, n_ffn=3072, n_ctx=1024, max_pos=32768)
-    p64 = plan_decode(card, 64, 1024)
-    p128 = plan_decode(card, 128, 1024)
+    p64 = plan_decode(card, 64, 1024, layered=False)
+    p128 = plan_decode(card, 128, 1024, layered=False)
     assert p64["fits"] and not p128["fits"], (p64, p128)
-    # without the transient, B=128 steady state WOULD fit — the wall is
-    # the admission copy, which multi-chip sharding or an in-place split
-    # would remove
-    steady = p128["total"] - p128["kv_transient"]
-    assert steady <= 16 * 1024 ** 3
+    # the wall is the admission copy, not steady-state KV: born-layered
+    # (default) removes it and B=128 fits — the measured round-5 result
+    l128 = plan_decode(card, 128, 1024)
+    assert l128["fits"], l128
+    assert l128["kv_transient"] < p128["kv_transient"] // 20
     # the 32B serving target on the planner's TP=8 mesh: batch 32 fits
     c32 = ModelCard.from_arch(
         "QWEN3", vocab_size=151936, n_layer=64, n_embd=5120, n_head=64,
