@@ -112,15 +112,18 @@ def plan_decode(card, batch: int, ctx: int, weight_bits: int = 4,
 
 def plan_training(card, batch: int, ctx: int, remat="dots",
                   hbm_bytes: int = V5E_HBM, max_chips: int = 256,
-                  optimizer: str = "adamw") -> MemoryPlan:
-    """Mesh plan for training: bf16 params + f32 moments FSDP-sharded,
+                  optimizer: str = "adamw",
+                  moment_dtype: str = "f32") -> MemoryPlan:
+    """Mesh plan for training: bf16 params + moments FSDP-sharded,
     batch DP-sharded. ``remat`` scales the activation estimate the same
     way models/transformer.py interprets it (True=full per-layer
-    checkpoint, "dots"=GEMM outputs resident, False=everything)."""
+    checkpoint, "dots"=GEMM outputs resident, False=everything).
+    ``moment_dtype="bf16"`` matches TrainCard.moment_dtype (the shipped
+    774M/1558M recipe) — halves optimizer-state bytes."""
     P = param_count(card)
     wb = P * 2                                   # bf16 params
     n_moments = 2 if optimizer == "adamw" else 1  # muon: momentum only
-    ob = P * 4 * n_moments
+    ob = P * (2 if moment_dtype == "bf16" else 4) * n_moments
     # per-layer resident activations per token (bytes, bf16):
     E, F = card.n_embd, card.n_ffn
     q = card.n_head * card.head_dim
