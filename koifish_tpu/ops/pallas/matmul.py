@@ -22,8 +22,13 @@ NF3_LIST = list(NF3_VALUES)
 
 # INT8 decode-GEMV flavor: "mxu" (int8 dot on the MXU) or "dot" (unpack
 # to bf16 + bf16 dot). Read once at import — it selects a traced branch.
+# Default flipped mxu->dot in round 5: the in-step A/B on the then-current
+# runtime measured dot 3935.8 vs mxu 3897.3 agg tok/s (B=32 INT8-weight
+# decode, tools/decode_int8_ab.py) and the jitted-scan micro agreed
+# (545.6 vs 697.8 us) — the r3 measurement (mxu 611 < dot 692) no longer
+# reproduces. ~1% in-step either way; re-A/B on runtime upgrades.
 import os as _os
-_INT8_GEMV = _os.environ.get("KOIFISH_INT8_GEMV", "mxu")
+_INT8_GEMV = _os.environ.get("KOIFISH_INT8_GEMV", "dot")
 
 
 def _ref_qmatmul(x: jax.Array, w: QTensor, out_dtype) -> jax.Array:

@@ -70,19 +70,25 @@ ev = [e for e in t["traceEvents"] if e.get("ph") == "X"]
 # old split-on-'%' collapsed into one empty bucket); show the long name
 # under the top entries for shape/operand context
 agg = collections.Counter()
+counts = collections.Counter()
 long_names = {}
 for e in ev:
     name = e["name"]
     if name.startswith(("$", "Pjit", "jit_", "np.", "Device", "Parse",
                         "Python", "PJRT")):
         continue
-    agg[name[:90]] += e.get("dur", 0)
+    # collapse per-layer clones (fusion.117, flash_bwd_call.36, ...) into
+    # one row per op FAMILY: 36 layers of the same kernel read as one
+    # line with a call count instead of flooding the top-40
+    fam = name[:90].rstrip("0123456789").rstrip(".")
+    agg[fam] += e.get("dur", 0)
+    counts[fam] += 1
     args = e.get("args") or {}
     if args.get("long_name"):
-        long_names[name[:90]] = args["long_name"][:160]
+        long_names[fam] = args["long_name"][:160]
 jit_total = sum(e.get("dur", 0) for e in ev if e["name"].startswith("jit_"))
 print(f"device jit total: {jit_total/3e3:.1f} ms/step over 3 steps")
 for name, dur in agg.most_common(40):
-    print(f"{dur/3e3:9.3f} ms  {name}")
+    print(f"{dur/3e3:9.3f} ms  x{counts[name]//3:<4d} {name}")
     if name in long_names:
         print(f"             {long_names[name]}")
