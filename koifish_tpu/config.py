@@ -440,6 +440,11 @@ class TrainCard:
     lars_ratio: float = 0.0
     muon_lr_ratio: float = 1.0
     muon_momentum: float = 0.95
+    # MUON_params_::Orthogonalization (CLI_params.hpp:570-574): "ns"
+    # (NewtonSchulz, reference default) | "chebyshev" (minimax-cubic
+    # schedule — the enum the reference declares but never dispatches).
+    # "gluon" is not implemented (declared-only there too).
+    muon_ortho: str = "ns"
     remat: Any = True                # jax.checkpoint (reference "Rematerialisation");
                                      # True=full, "dots"=save GEMM outputs, False=off
     int8_matmul: bool = False        # int8 fwd matmuls (FP8-GEMM analog)
@@ -488,6 +493,8 @@ class TrainCard:
             card.remat = r if isinstance(r, str) else bool(r)
         opt = jt.get("optimizatioin", jt.get("optimization", {}))  # sic — reference key
         card.optimizer = str(opt.get("method", card.optimizer)).lower()
+        card.muon_ortho = str(opt.get("muon_ortho",
+                                      card.muon_ortho)).lower()
         card.grad_accum = int(opt.get("grad_accumulation", card.grad_accum))
         card.moment_dtype = str(opt.get("moment_dtype",
                                         card.moment_dtype)).lower()

@@ -208,7 +208,8 @@ def make_train_step(card: ModelCard, tcard: TrainCard, total_steps: int,
             beta1=tcard.beta1, beta2=tcard.beta2, eps=tcard.eps,
             weight_decay=tcard.weight_decay, muon_momentum=tcard.muon_momentum,
             grad_clip=tcard.grad_clip,
-            lars_ratio=getattr(tcard, "lars_ratio", 0.0), sr_rng=sr_rng)
+            lars_ratio=getattr(tcard, "lars_ratio", 0.0),
+            muon_ortho=getattr(tcard, "muon_ortho", "ns"), sr_rng=sr_rng)
         metrics = dict(metrics, loss=loss, lr=lr)
         if tcard.check_tensor_norm:
             # per-leaf grad norms (DEBUG.check_tensor_norm / watch_Tensors

@@ -206,3 +206,59 @@ def test_sr_off_string_disables():
     off_b, off_s, off_0 = run(False), run("off"), run(0)
     assert off_b == off_s == off_0
     assert run("auto") != off_b
+
+
+# ---------------------------------------------------------------------------
+# Muon Chebyshev orthogonalization (MUON_params_::Orthogonalization
+# Chebyshev, CLI_params.hpp:570-574 — declared-only in the reference;
+# working minimax-cubic schedule here)
+# ---------------------------------------------------------------------------
+
+def test_chebyshev_orth_matches_svd_polar():
+    from koifish_tpu.train.optimizer import chebyshev_orth, newton_schulz
+    G = jax.random.normal(jax.random.PRNGKey(3), (96, 64), jnp.float32)
+    U, s, Vt = jnp.linalg.svd(G, full_matrices=False)
+    exact = U @ Vt
+    for Q, tol in ((chebyshev_orth(G), 0.05), (newton_schulz(G), 0.5)):
+        assert Q.shape == G.shape
+        err = jnp.max(jnp.abs(Q.T @ Q - jnp.eye(64)))
+        assert float(err) < tol, f"orthogonality {float(err)}"
+    # chebyshev lands closer to the exact polar factor than 5-step NS-bf16
+    assert float(jnp.max(jnp.abs(chebyshev_orth(G) - exact))) < 0.05
+    # wide orientation goes through the transpose path
+    Qw = chebyshev_orth(G.T)
+    assert float(jnp.max(jnp.abs(Qw @ Qw.T - jnp.eye(64)))) < 0.05
+
+
+def test_chebyshev_schedule_contracts():
+    from koifish_tpu.train.optimizer import _cheb_cubic_schedule
+    import numpy as np
+    xs = np.linspace(1e-3, 1.0, 4096)
+    for a, b in _cheb_cubic_schedule(1e-3, 10):
+        xs = a * xs + b * xs**3
+    # every singular value in [l0, 1] is driven to 1 within 1e-4
+    assert np.max(np.abs(xs - 1.0)) < 1e-4
+
+
+def test_muon_chebyshev_trains():
+    card = _tiny_card()
+    tc = TrainCard(batch=8, lr=1e-3, warmup=5, optimizer="muon",
+                   muon_ortho="chebyshev", remat=False)
+    step = make_train_step(card, tc, total_steps=100)
+    state = init_train_state(card, tc)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, 8, 33), 0, 128,
+                              dtype=jnp.int32)
+    losses = []
+    for _ in range(25):
+        state, m = step(state, {"tokens": toks})
+        losses.append(float(m["loss"]))
+    assert losses[-1] < 0.8 * losses[0]
+    assert all(l == l for l in losses)  # no NaNs
+
+
+def test_muon_ortho_unknown_rejected():
+    from koifish_tpu.train.optimizer import muon_update
+    p = jnp.ones((4, 4)); g = jnp.ones((4, 4)) * 0.1; m = jnp.zeros((4, 4))
+    with pytest.raises(ValueError, match="muon_ortho"):
+        muon_update(p, g, m, lr=1e-3, momentum=0.9, weight_decay=0.0,
+                    ortho="gluon")
